@@ -1,0 +1,146 @@
+"""RMS / dBFS energy scans and pydub-parity silence detection.
+
+Replaces pydub's ``detect_silence`` / ``split_on_silence`` (the reference's
+corpus segmenter, Code/Preprocessing/preprocess_audio.py:41-46) and its RMS
+dBFS conventions (used for noise gating in
+Code/Aligners/use_whisper_timestamped.py:197-229 and loudness deltas in
+Code/Pipeline/compute_loudness_adjustments.py:8-25).
+
+The naive pydub scan is O(T·window) — it recomputes the RMS of a
+``min_silence_len`` window at every millisecond. Here a single cumulative
+sum of squared samples turns every window RMS into two gathers, so scanning
+an hour of audio is one fused jit. Semantics parity with pydub:
+
+- dBFS is relative to the *integer* full-scale amplitude
+  (``20·log10(rms/32768)`` for int16 sources);
+- windows start at every millisecond (``seek_step=1``), a window is silent
+  iff ``rms <= 10^(thresh_db/20)·max_amplitude``;
+- silent windows merge into ranges ``[first_start, last_start+window]``,
+  splitting only when a gap exceeds the window length;
+- ``split_on_silence`` pads each nonsilent range by ``keep_silence`` ms and
+  splits overlapping pads at their midpoint (pydub's pairwise rule).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rms(x: np.ndarray | jnp.ndarray, int_scale: float = 32768.0) -> float:
+    """pydub/audioop RMS: sqrt(mean(sample²)) on integer-scale samples,
+    truncated to an integer (audioop returns int)."""
+    v = np.sqrt(np.mean(np.square(np.asarray(x, dtype=np.float64) * int_scale)))
+    return float(np.floor(v))
+
+
+def dbfs(x: np.ndarray | jnp.ndarray, int_scale: float = 32768.0) -> float:
+    """pydub AudioSegment.dBFS (−inf for digital silence)."""
+    r = rms(x, int_scale)
+    if r == 0:
+        return -np.inf
+    return 20.0 * float(np.log10(r / int_scale))
+
+
+@partial(jax.jit, static_argnames=("rate", "window_ms"))
+def _window_rms_sq(x: jnp.ndarray, rate: int, window_ms: int) -> jnp.ndarray:
+    """Mean-square of every window of ``window_ms`` starting at each
+    millisecond boundary. x: [T] float in [-1,1). Returns [n_starts]."""
+    from .cumsum import chunked_cumsum_sq
+
+    per_ms = rate / 1000.0
+    T = x.shape[-1]
+    cs = chunked_cumsum_sq(x)
+    total_ms = int(T * 1000 // rate)
+    n_starts = max(total_ms - window_ms + 1, 0)
+    starts_ms = jnp.arange(n_starts)
+    lo = (starts_ms * per_ms).astype(jnp.int32)
+    hi = ((starts_ms + window_ms) * per_ms).astype(jnp.int32)
+    hi = jnp.minimum(hi, T)
+    cnt = jnp.maximum(hi - lo, 1)
+    return cs.range_sum(lo, hi) / cnt
+
+
+def detect_silence(
+    x: np.ndarray,
+    rate: int,
+    min_silence_len: int = 1000,
+    silence_thresh: float = -50.0,
+    int_scale: float = 32768.0,
+) -> list[list[int]]:
+    """Silent [start_ms, end_ms] ranges, pydub.silence.detect_silence parity.
+
+    x: float samples in [-1,1). silence_thresh in dBFS.
+    """
+    length_ms = int(len(x) * 1000 // rate)
+    if length_ms < min_silence_len:
+        return []
+    ms2 = np.asarray(_window_rms_sq(jnp.asarray(x), rate, min_silence_len))
+    # pydub: audioop integer rms <= db_to_float(thresh) * max_amplitude
+    win_rms = np.floor(np.sqrt(np.maximum(ms2, 0.0)) * int_scale)
+    thresh_lin = (10.0 ** (silence_thresh / 20.0)) * int_scale
+    silent = win_rms <= thresh_lin
+
+    starts = np.nonzero(silent)[0]
+    if starts.size == 0:
+        return []
+    ranges: list[list[int]] = []
+    range_start = int(starts[0])
+    prev = int(starts[0])
+    for s in starts[1:]:
+        s = int(s)
+        continuous = s == prev + 1
+        has_gap = s > prev + min_silence_len
+        if not continuous and has_gap:
+            ranges.append([range_start, prev + min_silence_len])
+            range_start = s
+        prev = s
+    ranges.append([range_start, prev + min_silence_len])
+    return ranges
+
+
+def detect_nonsilent(
+    x: np.ndarray, rate: int, min_silence_len: int = 1000, silence_thresh: float = -50.0
+) -> list[list[int]]:
+    length_ms = int(len(x) * 1000 // rate)
+    silent = detect_silence(x, rate, min_silence_len, silence_thresh)
+    if not silent:
+        return [[0, length_ms]]
+    if silent == [[0, length_ms]]:
+        return []
+    out = []
+    prev_end = 0
+    for s, e in silent:
+        if s > prev_end:
+            out.append([prev_end, s])
+        prev_end = e
+    if prev_end < length_ms:
+        out.append([prev_end, length_ms])
+    if out and out[0] == [0, 0]:
+        out.pop(0)
+    return out
+
+
+def split_on_silence_ranges(
+    x: np.ndarray,
+    rate: int,
+    min_silence_len: int = 1000,
+    silence_thresh: float = -50.0,
+    keep_silence: int = 300,
+) -> list[tuple[int, int]]:
+    """[start_ms, end_ms) chunk ranges of pydub.silence.split_on_silence
+    (Code/Preprocessing/preprocess_audio.py:41-46 uses the audio of each)."""
+    length_ms = int(len(x) * 1000 // rate)
+    nonsilent = detect_nonsilent(x, rate, min_silence_len, silence_thresh)
+    # pydub pads first, splits overlaps at the midpoint, and clamps only
+    # when slicing — order matters for the midpoint arithmetic
+    ranges = [[s - keep_silence, e + keep_silence] for s, e in nonsilent]
+    for cur, nxt in zip(ranges[:-1], ranges[1:]):
+        if nxt[0] < cur[1]:
+            mid = (cur[1] + nxt[0]) // 2
+            cur[1] = mid
+            nxt[0] = mid
+    return [(max(s, 0), min(e, length_ms)) for s, e in ranges]

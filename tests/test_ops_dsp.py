@@ -1,0 +1,227 @@
+"""Golden tests for the DSP kernel layer (SURVEY.md §4: unit tests per
+kernel vs independent oracles, 1e-3 tolerance per BASELINE.md)."""
+
+import numpy as np
+import pytest
+from scipy.signal import lfilter
+
+from prosody_control_french_tts_tpu.ops import (
+    detect_silence,
+    dtw_distance,
+    integrated_loudness,
+    k_weight,
+    k_weighting_coeffs,
+    praat_pitch,
+    split_on_silence_ranges,
+    stft,
+)
+from prosody_control_french_tts_tpu.ops.pitch import PitchParams, median_pitch_in_windows
+from prosody_control_french_tts_tpu.ops.loudness import windowed_loudness, max_blocks_for
+import jax.numpy as jnp
+
+SR = 44100
+
+
+def tone(freq, dur=1.0, sr=SR, amp=0.5, harmonics=((2, 0.2),)):
+    t = np.arange(int(sr * dur)) / sr
+    x = amp * np.sin(2 * np.pi * freq * t)
+    for mult, a in harmonics:
+        x = x + a * np.sin(2 * np.pi * mult * freq * t + 0.3)
+    return x
+
+
+class TestPitch:
+    @pytest.mark.parametrize("freq", [155.0, 200.0, 330.0, 440.0, 587.33])
+    def test_tone_accuracy(self, freq):
+        tr = praat_pitch(tone(freq), SR)
+        f0 = np.asarray(tr.f0)
+        voiced = f0[f0 > 0]
+        assert voiced.size / f0.size > 0.9
+        med = np.median(voiced)
+        assert abs(med - freq) / freq < 1e-3  # BASELINE.md parity budget
+
+    def test_floor_ceiling(self):
+        # 100 Hz is below the 150 Hz floor used by the reference
+        # (Code/audioPipeline.py:329): the track must not report it
+        tr = praat_pitch(tone(100.0, harmonics=()), SR)
+        f0 = np.asarray(tr.f0)
+        assert not np.any((f0 > 90) & (f0 < 110))
+
+    def test_silence_unvoiced(self):
+        tr = praat_pitch(np.zeros(SR), SR)
+        assert np.all(np.asarray(tr.f0) == 0.0)
+
+    def test_noise_mostly_unvoiced(self, rng):
+        tr = praat_pitch(rng.normal(size=SR).astype(np.float32) * 0.1, SR)
+        f0 = np.asarray(tr.f0)
+        assert (f0 > 0).mean() < 0.4
+
+    def test_batched_matches_single(self):
+        x1, x2 = tone(220.0), tone(330.0)
+        batch = np.stack([x1, x2])
+        tb = praat_pitch(batch, SR)
+        t1 = praat_pitch(x1, SR)
+        np.testing.assert_allclose(np.asarray(tb.f0)[0], np.asarray(t1.f0), rtol=1e-5)
+
+    def test_ragged_padding(self):
+        x = tone(220.0, dur=0.7)
+        pad = np.concatenate([x, np.zeros(SR - x.size, np.float32)])
+        tr = praat_pitch(pad[None, :], SR, lengths=np.array([x.size]))
+        f0 = np.asarray(tr.f0)[0]
+        times = tr.times
+        inside = times < 0.6
+        voiced = f0[inside]
+        voiced = voiced[voiced > 0]
+        assert abs(np.median(voiced) - 220.0) / 220.0 < 1e-3
+        # frames past the true end are unvoiced
+        assert np.all(f0[times > 0.72] == 0.0)
+
+    def test_vibrato_tracking(self):
+        t = np.arange(SR) / SR
+        inst = 250.0 + 20.0 * np.sin(2 * np.pi * 4.0 * t)
+        phase = 2 * np.pi * np.cumsum(inst) / SR
+        x = 0.5 * np.sin(phase)
+        tr = praat_pitch(x, SR)
+        f0 = np.asarray(tr.f0)
+        v = f0[f0 > 0]
+        assert v.min() > 220 and v.max() < 280
+        assert v.max() - v.min() > 25  # actually tracks the modulation
+
+    def test_median_in_windows(self):
+        x = np.concatenate([tone(200.0, 0.5), tone(400.0, 0.5)])
+        tr = praat_pitch(x, SR)
+        med = median_pitch_in_windows(tr, np.array([[0.05, 0.45], [0.55, 0.95]]))
+        med = np.asarray(med)
+        assert abs(med[0] - 200) / 200 < 2e-3
+        assert abs(med[1] - 400) / 400 < 2e-3
+
+
+class TestLoudness:
+    def test_kweight_matches_lfilter(self, rng):
+        for sr in (44100, 48000):
+            x = rng.normal(size=sr).astype(np.float64) * 0.1
+            (b1, a1), (b2, a2) = k_weighting_coeffs(sr)
+            ref = lfilter(b2, a2, lfilter(b1, a1, x))
+            ours = np.asarray(k_weight(jnp.asarray(x, jnp.float32), sr))
+            assert np.abs(ref - ours).max() / np.abs(ref).max() < 1e-4
+
+    def _oracle(self, data, rate):
+        (b1, a1), (b2, a2) = k_weighting_coeffs(rate)
+        y = lfilter(b2, a2, lfilter(b1, a1, data))
+        T_g, step = 0.4, 0.25
+        num_blocks = int(round(((len(data) / rate) - T_g) / (T_g * step))) + 1
+        z = np.array(
+            [
+                np.sum(y[int(T_g * rate * j * step) : int(T_g * rate * (j * step + 1))] ** 2)
+                / (T_g * rate)
+                for j in range(num_blocks)
+            ]
+        )
+        l_blk = -0.691 + 10 * np.log10(np.maximum(z, 1e-30))
+        g1 = l_blk > -70.0
+        gamma_r = -0.691 + 10 * np.log10(z[g1].mean()) - 10
+        g2 = g1 & (l_blk > gamma_r)
+        return -0.691 + 10 * np.log10(z[g2].mean())
+
+    def test_integrated_matches_oracle(self, rng):
+        sr = 48000
+        x = rng.normal(size=int(sr * 3.7)) * 0.05
+        x *= 1 + 0.8 * np.sin(2 * np.pi * 0.4 * np.arange(x.size) / sr)
+        assert abs(integrated_loudness(x, sr) - self._oracle(x, sr)) < 1e-3
+
+    def test_short_signal_raises(self):
+        with pytest.raises(ValueError):
+            integrated_loudness(np.zeros(1000), 48000)
+
+    def test_windowed_matches_slice(self, rng):
+        sr = 44100
+        x = (rng.normal(size=sr * 4) * 0.1).astype(np.float32)
+        y = k_weight(jnp.asarray(x), sr)
+        s, e = int(0.5 * sr), int(3.1 * sr)
+        lufs, valid = windowed_loudness(
+            y,
+            sr,
+            jnp.array([s]),
+            jnp.array([e]),
+            jnp.array([float(np.abs(x[s:e]).max())]),
+            max_blocks=max_blocks_for(sr * 4, sr),
+        )
+        assert bool(valid[0])
+        sliced = x[s:e] / np.abs(x[s:e]).max()
+        assert abs(float(lufs[0]) - self._oracle(sliced, sr)) < 5e-3
+
+    def test_window_too_short_invalid(self, rng):
+        sr = 44100
+        x = (rng.normal(size=sr) * 0.1).astype(np.float32)
+        y = k_weight(jnp.asarray(x), sr)
+        _, valid = windowed_loudness(
+            y, sr, jnp.array([0]), jnp.array([int(0.2 * sr)]), jnp.array([1.0]),
+            max_blocks=max_blocks_for(sr, sr),
+        )
+        assert not bool(valid[0])
+
+
+class TestSilence:
+    def _mk(self, pattern, sr=22050):
+        """pattern: list of (is_speech, ms)."""
+        out = []
+        rng = np.random.default_rng(7)
+        for speech, ms in pattern:
+            n = int(sr * ms / 1000)
+            out.append(rng.normal(size=n) * (0.2 if speech else 1e-5))
+        return np.concatenate(out), sr
+
+    def test_detect_silence_basic(self):
+        x, sr = self._mk([(True, 800), (False, 1500), (True, 600)])
+        ranges = detect_silence(x, sr, min_silence_len=1000, silence_thresh=-50)
+        assert len(ranges) == 1
+        s, e = ranges[0]
+        assert abs(s - 800) < 30 and abs(e - 2300) < 30
+
+    def test_split_on_silence_keep(self):
+        x, sr = self._mk([(True, 900), (False, 1400), (True, 700), (False, 1200), (True, 500)])
+        chunks = split_on_silence_ranges(x, sr, 1000, -50, keep_silence=300)
+        assert len(chunks) == 3
+        # keep_silence padding extends each chunk by ≤300 ms each side
+        assert chunks[0][0] == 0
+        assert 900 <= chunks[0][1] - chunks[0][0] <= 1600
+
+    def test_no_silence(self):
+        x, sr = self._mk([(True, 1500)])
+        assert detect_silence(x, sr, 1000, -50) == []
+        assert split_on_silence_ranges(x, sr, 1000, -50, 300) == [(0, 1500)]
+
+    def test_all_silence(self):
+        x, sr = self._mk([(False, 2000)])
+        assert split_on_silence_ranges(x, sr, 1000, -50, 300) == []
+
+
+class TestSTFT:
+    def test_matches_numpy_oracle(self, rng):
+        x = rng.normal(size=4096).astype(np.float32)
+        n_fft, hop = 512, 128
+        ours = np.asarray(stft(jnp.asarray(x), n_fft, hop))
+        xp = np.pad(x, n_fft // 2, mode="reflect")
+        win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+        frames = np.stack(
+            [xp[i * hop : i * hop + n_fft] * win for i in range(1 + (len(xp) - n_fft) // hop)]
+        )
+        ref = np.fft.rfft(frames, axis=-1).T
+        assert np.abs(ours - ref).max() < 1e-2 * np.abs(ref).max()
+
+
+class TestDTW:
+    def test_identity(self):
+        a = np.array([1.0, 2.0, 3.0, 4.0])
+        assert dtw_distance(a, a) == 0.0
+
+    def test_shift_invariant_path(self):
+        a = np.sin(np.linspace(0, 3, 50))
+        b = np.sin(np.linspace(0, 3, 70))
+        assert dtw_distance(a, b) < 1.0
+
+    def test_known_small(self):
+        a = np.array([0.0, 1.0, 2.0])
+        b = np.array([0.0, 2.0])
+        # D: path 0-0,1-?,2-1 → cost |0-0|+min(...)=1
+        assert dtw_distance(a, b) == 1.0
