@@ -1,0 +1,367 @@
+"""Batched prosody measurement: one device program per voice corpus.
+
+The reference's measure step re-opens every wav file once per syntagme and
+runs Praat/pyloudnorm per slice (Code/audioPipeline.py:496-537 — flagged in
+SURVEY.md §6 as the dominant CPU cost). Here the whole voice is loaded into
+two padded arrays (natural [S, T], raw synthetic [S, T2]) and a single
+jitted program computes:
+
+- the full F0 track of every segment (batched Boersma kernel) and the
+  voiced median inside every syntagme window;
+- K-weighted loudness with per-window peak normalisation and BS.1770
+  gating for every syntagme window of both corpora, with the reference's
+  short-window fallback (→ full-file loudness);
+- full-segment pitch/loudness for the sliding-window baselines.
+
+Durations, word counts and clamping/smoothing run on flat [rows] arrays
+(prosody.adjust). Host work is only file I/O, TextGrid parsing, and
+syntagme bookkeeping.
+
+Lengths are padded to power-of-two buckets so XLA compiles once per bucket,
+not once per segment length.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.loudness import k_weight, windowed_loudness, max_blocks_for, _gated_lufs  # noqa: F401
+from ..ops.pitch import PitchParams, _pitch_frames, _viterbi, _geometry, median_pitch_in_windows, PitchTrack
+from ..ops.rangemax import RangeMax
+from ..ssml.syntagme import Syntagme, extract_words_and_pauses, pipeline_syntagmes
+from ..utils import fr_pos
+from ..utils.textgridio import read_textgrid
+from ..utils.wavio import read_wav
+from .adjust import ProsodySettings, pitch_adjust_pct, rate_adjust_pct, segment_baselines, volume_adjust_pct
+
+
+def bucket_length(n: int, minimum: int = 1 << 15) -> int:
+    """Next power of two ≥ n (≥ minimum): bounds the number of distinct
+    compiled shapes for a corpus of ragged segments."""
+    m = minimum
+    while m < n:
+        m *= 2
+    return m
+
+
+_SEG_NUM = re.compile(r"segment_ph(\d+)")
+
+
+def segment_sort_key(p: Path):
+    m = _SEG_NUM.search(p.stem)
+    return (0, int(m.group(1))) if m else (1, p.stem)
+
+
+@dataclass
+class MeasureRow:
+    segment: str
+    syntagme: str
+    pause: int
+    raw_pitch: float
+    raw_volume: float
+    raw_rate: float
+    pitch_smooth: float = 0.0
+    rate_smooth: float = 0.0
+
+
+@dataclass
+class SegmentStat:
+    segment: str
+    p_nat: float
+    l_nat: float
+    l_syn: float
+    d_nat: float
+    d_syn: float
+    wc: int
+    rate_ratio: float
+
+
+@dataclass
+class MeasureResult:
+    rows: list[MeasureRow]
+    seg_stats: list[SegmentStat]
+    baselines: dict[str, np.ndarray] = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# device kernel
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("rate", "T", "T2", "pp"))
+def _measure_device(
+    nat, nat_len, raw, raw_len, win_nat, win_raw, mask, rate: float, T: int, T2: int, pp: PitchParams
+):
+    """nat [S,T], raw [S,T2] float32; win_* [S,N,2] int32 sample windows
+    (win_raw pre-adjusted for the empty-slice fallback); mask [S,N].
+
+    Returns per-syntagme (median F0 nat, LUFS nat, LUFS raw, valid flags)
+    and per-segment (median F0, LUFS nat full, LUFS raw full).
+    """
+    g = _geometry(T, rate, pp)
+
+    def pitch_one(sig, length):
+        freq, strength, intensity, _ = _pitch_frames(sig, rate, T, pp, length)
+        return _viterbi(freq, strength, intensity, pp, g["dt"])
+
+    f0 = jax.vmap(pitch_one)(nat, nat_len.astype(jnp.float32))  # [S, F]
+    times = g["first_time"] + np.arange(g["n_frames"]) * g["dt"]  # host constants
+
+    # syntagme-window pitch medians (seconds)
+    win_s = win_nat.astype(jnp.float32) / rate
+    track = PitchTrack(f0=f0, times=times, dt=g["dt"])
+    p_syn = median_pitch_in_windows(track, win_s, mask)  # [S, N]
+    # full-segment median
+    full_win = jnp.stack([jnp.zeros_like(nat_len), nat_len], axis=-1).astype(jnp.float32) / rate
+    p_seg = median_pitch_in_windows(track, full_win[:, None, :])[:, 0]
+
+    def lufs_for(x, x_len, wins, max_t):
+        y = k_weight(x, rate, num_samples=max_t)
+        rmax = RangeMax.build(x)
+        peaks = rmax.query(wins[..., 0], wins[..., 1])
+        peaks = jnp.where(peaks > 0, peaks, 1.0)  # reference `or 1.0`
+        mb = max_blocks_for(max_t, rate)
+        lufs, valid = windowed_loudness(y, rate, wins[..., 0], wins[..., 1], peaks, max_blocks=mb)
+        # full-file loudness (the short-window fallback target)
+        fw = jnp.stack([jnp.zeros_like(x_len), x_len], axis=-1)[:, None, :]
+        fpeaks = rmax.query(fw[..., 0], fw[..., 1])
+        fpeaks = jnp.where(fpeaks > 0, fpeaks, 1.0)
+        flufs, fvalid = windowed_loudness(y, rate, fw[..., 0], fw[..., 1], fpeaks, max_blocks=mb)
+        flufs = jnp.where(fvalid, flufs, -70.0)[:, 0]
+        out = jnp.where(valid, lufs, flufs[:, None])
+        return out, flufs
+
+    l_nat_syn, l_nat_seg = lufs_for(nat, nat_len, win_nat, T)
+    l_raw_syn, l_raw_seg = lufs_for(raw, raw_len, win_raw, T2)
+    return p_syn, p_seg, l_nat_syn, l_nat_seg, l_raw_syn, l_raw_seg
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+
+def _load_padded(paths_or_arrays, rate_expect=None):
+    """Read wavs (or accept arrays) → ([S, T] float32 padded, lengths, rate,
+    ok-flags)."""
+    sigs, ok = [], []
+    rate = rate_expect
+    for item in paths_or_arrays:
+        if item is None:
+            sigs.append(np.zeros(1, np.float32))
+            ok.append(False)
+            continue
+        if isinstance(item, (str, Path)):
+            try:
+                a = read_wav(item).to_mono()
+            except (FileNotFoundError, ValueError):
+                sigs.append(np.zeros(1, np.float32))
+                ok.append(False)
+                continue
+            rate = rate or a.rate
+            sigs.append(np.asarray(a.samples, np.float32))
+        else:
+            sigs.append(np.asarray(item, np.float32))
+        ok.append(True)
+    T = bucket_length(max(s.shape[0] for s in sigs))
+    out = np.zeros((len(sigs), T), np.float32)
+    lens = np.zeros(len(sigs), np.int32)
+    for i, s in enumerate(sigs):
+        out[i, : s.shape[0]] = s
+        lens[i] = s.shape[0]
+    return out, lens, rate or 44100, np.asarray(ok)
+
+
+def _ms_to_samp(ms: float, rate: int) -> int:
+    return int(ms * rate / 1000.0)
+
+
+def measure_voice(
+    seg_files: list[Path],
+    textgrid_dir: Path,
+    raw_audio_dir: Path,
+    settings: ProsodySettings,
+    pitch_params: PitchParams | None = None,
+    clean_word=None,
+) -> MeasureResult:
+    """The full measure stage for one voice (Code/audioPipeline.py:261-602
+    numerics; SSML emission happens in the pipeline layer)."""
+    pp = pitch_params or PitchParams()
+    if clean_word is None:
+        clean_word = fr_pos.remove_spurious_commas
+
+    # --- host: parse alignment, build syntagmes --------------------------
+    names = [p.stem for p in seg_files]
+    tgs = [read_textgrid(textgrid_dir / f"{n}.TextGrid") for n in names]
+    raw_seqs = [extract_words_and_pauses(tg) for tg in tgs]
+    synts_per_seg: list[list[Syntagme]] = [
+        pipeline_syntagmes(tg, settings.end_punctuation_pause_ms, clean_word=clean_word)
+        for tg in tgs
+    ]
+
+    nat, nat_len, rate, _ = _load_padded(seg_files)
+    raw_paths = [raw_audio_dir / f"{n}.wav" for n in names]
+    raw, raw_len, _, raw_ok = _load_padded(
+        [p if p.exists() else None for p in raw_paths], rate_expect=rate
+    )
+
+    S = len(names)
+    N = max(1, max(len(s) for s in synts_per_seg))
+    N = ((N + 15) // 16) * 16  # bucket the syntagme axis too
+    win_nat = np.zeros((S, N, 2), np.int32)
+    win_raw = np.zeros((S, N, 2), np.int32)
+    mask = np.zeros((S, N), bool)
+    raw_slice_empty = np.zeros((S, N), bool)
+
+    for i, synts in enumerate(synts_per_seg):
+        for j, syn in enumerate(synts):
+            i0 = _ms_to_samp(syn.start_ms, rate)
+            i1 = _ms_to_samp(syn.end_ms, rate)
+            i0n, i1n = min(i0, int(nat_len[i])), min(i1, int(nat_len[i]))
+            win_nat[i, j] = (i0n, max(i1n, i0n))
+            # raw slice at natural times; empty → whole raw file
+            r0, r1 = min(i0, int(raw_len[i])), min(i1, int(raw_len[i]))
+            if r1 <= r0 or not raw_ok[i]:
+                raw_slice_empty[i, j] = True
+                win_raw[i, j] = (0, int(raw_len[i]))
+            else:
+                win_raw[i, j] = (r0, r1)
+            mask[i, j] = True
+
+    # when the raw file is missing entirely, the reference falls back to
+    # the *natural* slice (Code/audioPipeline.py:506-509): point the raw
+    # windows at the natural signal by swapping inputs per segment
+    raw_for_device = raw.copy()
+    raw_len_dev = raw_len.copy()
+    win_raw_dev = win_raw.copy()
+    T2 = raw.shape[1]
+    if (~raw_ok).any():
+        need = nat.shape[1] > T2
+        if need:
+            raw_for_device = np.zeros((S, nat.shape[1]), np.float32)
+            raw_for_device[:, :T2] = raw
+            T2 = nat.shape[1]
+            raw_len_dev = raw_len.copy()
+        for i in range(S):
+            if not raw_ok[i]:
+                raw_for_device[i, : int(nat_len[i])] = nat[i, : int(nat_len[i])]
+                raw_for_device[i, int(nat_len[i]) :] = 0.0
+                raw_len_dev[i] = nat_len[i]
+                win_raw_dev[i] = win_nat[i]
+
+    p_syn, p_seg, l_nat_syn, l_nat_seg, l_raw_syn, l_raw_seg = _measure_device(
+        jnp.asarray(nat),
+        jnp.asarray(nat_len),
+        jnp.asarray(raw_for_device),
+        jnp.asarray(raw_len_dev),
+        jnp.asarray(win_nat),
+        jnp.asarray(win_raw_dev),
+        jnp.asarray(mask),
+        rate=float(rate),
+        T=int(nat.shape[1]),
+        T2=int(T2),
+        pp=pp,
+    )
+    p_syn, p_seg = np.asarray(p_syn), np.asarray(p_seg)
+    l_nat_syn, l_nat_seg = np.asarray(l_nat_syn), np.asarray(l_nat_seg)
+    l_raw_syn, l_raw_seg = np.asarray(l_raw_syn), np.asarray(l_raw_seg)
+
+    # --- segment stats + baselines (Code/audioPipeline.py:363-424) -------
+    seg_stats: list[SegmentStat] = []
+    for i, name in enumerate(names):
+        wc = sum(1 for k, t, _ in raw_seqs[i] if k == "word" and t and t.strip())
+        d_nat = float(nat_len[i]) / rate or 1e-4
+        d_syn = (float(raw_len[i]) / rate or 1e-4) if raw_ok[i] else d_nat
+        l_syn_seg_val = float(l_raw_seg[i]) if raw_ok[i] else float(l_nat_seg[i])
+        rate_ratio = (wc / d_nat) / (wc / d_syn) if wc > 0 and d_syn > 0 else 1.0
+        seg_stats.append(
+            SegmentStat(
+                segment=name,
+                p_nat=float(p_seg[i]),
+                l_nat=float(l_nat_seg[i]),
+                l_syn=l_syn_seg_val,
+                d_nat=d_nat,
+                d_syn=d_syn,
+                wc=wc,
+                rate_ratio=rate_ratio,
+            )
+        )
+    baselines = segment_baselines(
+        np.array([s.p_nat for s in seg_stats]),
+        np.array([s.l_nat for s in seg_stats]),
+        np.array([s.rate_ratio for s in seg_stats]),
+        settings.baseline_window,
+    )
+
+    # --- per-syntagme raw adjustments, vectorised over the flat row axis
+    # (Code/audioPipeline.py:437-589) ----------------------------------
+    meta = []  # (seg_idx, syn) in dataframe order
+    for i, synts in enumerate(synts_per_seg):
+        for j, syn in enumerate(synts):
+            meta.append((i, j, syn))
+    if not meta:
+        return MeasureResult(rows=[], seg_stats=seg_stats, baselines=baselines)
+
+    idx_i = np.array([m[0] for m in meta])
+    idx_j = np.array([m[1] for m in meta])
+    pause_s = np.array([m[2].pause_ms for m in meta], np.float64) / 1000.0
+    wc_syn = np.array([m[2].word_count for m in meta], np.float64)
+    nat_total = (win_nat[idx_i, idx_j, 1] - win_nat[idx_i, idx_j, 0]) / rate
+    nat_total = np.where(nat_total == 0, 1e-4, nat_total)
+    eff_win_raw = np.where(raw_slice_empty[idx_i, idx_j, None], win_raw_dev[idx_i, idx_j], win_raw[idx_i, idx_j])
+    syn_total = (eff_win_raw[:, 1] - eff_win_raw[:, 0]) / rate
+    syn_total = np.where(syn_total == 0, 1e-4, syn_total)
+    d_nat = np.maximum(nat_total - pause_s, 1e-4)
+    d_syn = np.maximum(syn_total - pause_s, 1e-4)
+
+    p_pct = np.asarray(
+        pitch_adjust_pct(
+            jnp.asarray(p_syn[idx_i, idx_j], jnp.float32),
+            jnp.asarray(baselines["f0"][idx_i], jnp.float32),
+            settings.pitch_semitones,
+            settings.pitch_lower_clip_factor,
+        )
+    )
+    v_pct = np.asarray(
+        volume_adjust_pct(
+            jnp.asarray(baselines["loud"][idx_i], jnp.float32),
+            jnp.asarray(l_raw_syn[idx_i, idx_j], jnp.float32),
+            settings.volume_pct,
+        )
+    )
+    r_pct = np.asarray(
+        rate_adjust_pct(
+            jnp.asarray(wc_syn, jnp.float32),
+            jnp.asarray(d_nat, jnp.float32),
+            jnp.asarray(d_syn, jnp.float32),
+            settings,
+        )
+    )
+
+    # --- smoothing across the whole voice (Code/audioPipeline.py:592-602)
+    from .adjust import smooth_series
+
+    sm_p = np.asarray(smooth_series(p_pct, settings.smoothing_alpha, settings.max_jump_percent))
+    sm_r = np.asarray(smooth_series(r_pct, settings.smoothing_alpha, settings.max_jump_percent))
+
+    rows = [
+        MeasureRow(
+            segment=names[i],
+            syntagme=syn.words,
+            pause=int(syn.pause_ms),
+            raw_pitch=float(p_pct[k]),
+            raw_volume=float(v_pct[k]),
+            raw_rate=float(r_pct[k]),
+            pitch_smooth=float(sm_p[k]),
+            rate_smooth=float(sm_r[k]),
+        )
+        for k, (i, j, syn) in enumerate(meta)
+    ]
+    return MeasureResult(rows=rows, seg_stats=seg_stats, baselines=baselines)
