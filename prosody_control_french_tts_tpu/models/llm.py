@@ -1,0 +1,243 @@
+"""Decoder-only LLM (Qwen2-family geometry) with LoRA, written for pjit.
+
+The TPU-native replacement for the reference's cascaded Qwen2.5-7B stages
+(Code/ssml_models/cascading_model/QwenA.py, QwenB.py): stage A tags break
+positions in plain text, stage B fills prosody values into a templated
+SSML — both are instruction-tuned causal LMs with LoRA adapters. The
+architecture here is a fresh flax implementation of the same family:
+RMSNorm (pre-norm), rotary position embeddings, grouped-query attention,
+SwiGLU MLP, untied LM head — dimensioned by config (``qwen25_7b`` preset
+matches the reference's checkpoints; ``tiny`` runs in tests).
+
+Sharding is externalized: ``parallel.sharding.llm_param_spec`` maps this
+module's parameter tree onto a ("data", "model") mesh (megatron-style TP:
+qkv/gate/up column-split, o/down row-split), and the train step in
+``training.py`` jits with those shardings — XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .lora import LoRADense
+
+
+@dataclass(frozen=True)
+class LLMConfig:
+    vocab_size: int = 8192
+    dim: int = 256
+    layers: int = 2
+    heads: int = 8
+    kv_heads: int = 2
+    ffn: int = 512
+    max_len: int = 1024  # QwenA.py:478 truncation
+    rope_theta: float = 1e6
+    lora_rank: int = 8  # QwenA.py:183
+    lora_alpha: float = 16.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 512) -> "LLMConfig":
+        return cls(vocab_size=vocab_size, dim=64, layers=2, heads=4, kv_heads=2, ffn=128, max_len=128)
+
+    @classmethod
+    def qwen25_7b(cls, vocab_size: int = 152064) -> "LLMConfig":
+        return cls(
+            vocab_size=vocab_size,
+            dim=3584,
+            layers=28,
+            heads=28,
+            kv_heads=4,
+            ffn=18944,
+            max_len=1024,
+            rope_theta=1e6,
+        )
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+
+def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """x: [..., L, H, D]; positions: [..., L]."""
+    d = x.shape[-1]
+    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = positions[..., :, None].astype(jnp.float32)[..., None, :] * freqs  # [..., L, 1, D/2]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    y1 = x1 * cos - x2 * sin
+    y2 = x2 * cos + x1 * sin
+    return jnp.stack([y1, y2], axis=-1).reshape(x.shape).astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * scale.astype(x.dtype)
+
+
+class Attention(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, x, positions, mask, cache=None):
+        c = self.cfg
+        hd = c.head_dim
+        q = LoRADense(c.heads * hd, c.lora_rank, c.lora_alpha, dtype=c.dtype, name="q")(x)
+        k = LoRADense(c.kv_heads * hd, c.lora_rank, c.lora_alpha, dtype=c.dtype, name="k")(x)
+        v = LoRADense(c.kv_heads * hd, c.lora_rank, c.lora_alpha, dtype=c.dtype, name="v")(x)
+        B, L = x.shape[0], x.shape[1]
+        q = q.reshape(B, L, c.heads, hd)
+        k = k.reshape(B, L, c.kv_heads, hd)
+        v = v.reshape(B, L, c.kv_heads, hd)
+        q = rope(q, positions, c.rope_theta)
+        k = rope(k, positions, c.rope_theta)
+
+        if cache is not None:
+            ck, cv, cache_pos = cache
+            k = jax.lax.dynamic_update_slice(ck, k, (0, cache_pos, 0, 0))
+            v = jax.lax.dynamic_update_slice(cv, v, (0, cache_pos, 0, 0))
+            new_cache = (k, v)
+        else:
+            new_cache = None
+
+        group = c.heads // c.kv_heads
+        kk = jnp.repeat(k, group, axis=2)
+        vv = jnp.repeat(v, group, axis=2)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, kk) / jnp.sqrt(hd).astype(q.dtype)
+        att = jnp.where(mask[:, None, :, :], att, jnp.finfo(att.dtype).min)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, vv).reshape(B, L, c.heads * hd)
+        out = LoRADense(c.dim, c.lora_rank, c.lora_alpha, dtype=c.dtype, name="o")(out)
+        return out, new_cache
+
+
+class MLP(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        gate = LoRADense(c.ffn, c.lora_rank, c.lora_alpha, dtype=c.dtype, name="gate")(x)
+        up = LoRADense(c.ffn, c.lora_rank, c.lora_alpha, dtype=c.dtype, name="up")(x)
+        return LoRADense(c.dim, c.lora_rank, c.lora_alpha, dtype=c.dtype, name="down")(
+            jax.nn.silu(gate) * up
+        )
+
+
+class DecoderLayer(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, x, positions, mask, cache=None):
+        h, new_cache = Attention(self.cfg, name="attn")(
+            RMSNorm(name="ln1")(x), positions, mask, cache
+        )
+        x = x + h
+        x = x + MLP(self.cfg, name="mlp")(RMSNorm(name="ln2")(x))
+        return x, new_cache
+
+
+class DecoderLM(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, ids, positions=None, kv_caches=None, cache_pos=None, attn_mask=None):
+        """Training: ids [B, L] → logits [B, L, V] (causal mask).
+        Decoding: pass kv_caches [(k,v)×layers] and cache_pos."""
+        c = self.cfg
+        B, L = ids.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(L), (B, L))
+        x = nn.Embed(c.vocab_size, c.dim, dtype=c.dtype, name="embed")(ids)
+
+        if kv_caches is None:
+            causal = jnp.tril(jnp.ones((L, L), bool))
+            mask = causal[None, :, :]
+            if attn_mask is not None:
+                mask = mask & attn_mask[:, None, :]
+        else:
+            kl = kv_caches[0][0].shape[1]
+            mask = (jnp.arange(kl)[None, None, :] <= positions[:, :, None])
+
+        new_caches = []
+        for i in range(c.layers):
+            cache = None
+            if kv_caches is not None:
+                cache = (kv_caches[i][0], kv_caches[i][1], cache_pos)
+            x, nc = DecoderLayer(c, name=f"layer_{i}")(x, positions, mask, cache)
+            new_caches.append(nc)
+        x = RMSNorm(name="ln_f")(x)
+        logits = nn.Dense(c.vocab_size, use_bias=False, dtype=jnp.float32, name="lm_head")(
+            x.astype(jnp.float32)
+        )
+        return (logits, new_caches) if kv_caches is not None else logits
+
+
+def init_kv_caches(cfg: LLMConfig, batch: int, max_len: int):
+    hd = cfg.head_dim
+    return [
+        (
+            jnp.zeros((batch, max_len, cfg.kv_heads, hd), cfg.dtype),
+            jnp.zeros((batch, max_len, cfg.kv_heads, hd), cfg.dtype),
+        )
+        for _ in range(cfg.layers)
+    ]
+
+
+def causal_lm_loss(logits, ids, loss_mask):
+    """Next-token CE with instruction masking (labels = ids shifted; only
+    positions where loss_mask=1 count — QwenA.py:111-113 masks the prompt)."""
+    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    tgt = ids[:, 1:]
+    ll = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    m = loss_mask[:, 1:].astype(logp.dtype)
+    return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def greedy_generate(model: DecoderLM, params, prompt_ids, max_new: int, eos_id: int | None = None):
+    """KV-cache greedy decoding under one jit (lax.while_loop).
+
+    prompt_ids: [B, P] (right-padded prompts not supported here — serve
+    fixed-length prompts or left-pad upstream)."""
+    cfg = model.cfg
+    B, P = prompt_ids.shape
+    total = P + max_new
+    caches = init_kv_caches(cfg, B, total)
+
+    # prefill
+    positions = jnp.broadcast_to(jnp.arange(P), (B, P))
+    logits, caches = model.apply(params, prompt_ids, positions=positions, kv_caches=caches, cache_pos=0)
+    last = jnp.argmax(logits[:, -1], axis=-1)
+
+    tokens = jnp.zeros((B, total), jnp.int32)
+    tokens = tokens.at[:, :P].set(prompt_ids).at[:, P].set(last)
+
+    def cond(state):
+        step, tokens, caches, done = state
+        return (step < max_new - 1) & ~jnp.all(done)
+
+    def body(state):
+        step, tokens, caches, done = state
+        pos = P + step
+        ids = jax.lax.dynamic_slice(tokens, (0, pos), (B, 1))
+        positions = jnp.full((B, 1), pos)
+        logits, caches = model.apply(params, ids, positions=positions, kv_caches=caches, cache_pos=pos)
+        nxt = jnp.argmax(logits[:, -1], axis=-1)
+        if eos_id is not None:
+            done = done | (nxt == eos_id)
+            nxt = jnp.where(done, eos_id, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None].astype(jnp.int32), (0, pos + 1))
+        return step + 1, tokens, caches, done
+
+    done0 = jnp.zeros((B,), bool) if eos_id is not None else jnp.zeros((B,), bool)
+    _, tokens, _, _ = jax.lax.while_loop(cond, body, (0, tokens, caches, done0))
+    return tokens

@@ -1,0 +1,76 @@
+"""LoRA (low-rank adaptation) for flax Dense kernels.
+
+The reference trains Qwen2.5-7B with PEFT LoRA r=8 α=16 on
+q/k/v/o/gate/up/down projections (Code/ssml_models/cascading_model/
+QwenA.py:181-197, QwenB.py:114-136). Here LoRA is a first-class module:
+``LoRADense`` computes ``x·W + (α/r)·(x·A)·B`` with A ~ N(0, 1/r), B = 0,
+and the parameter tree keeps base and adapter weights in separate
+collections so the optimizer masks base weights out natively.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class LoRADense(nn.Module):
+    features: int
+    rank: int = 0
+    alpha: float = 16.0
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (in_f, self.features), jnp.float32)
+        y = jnp.dot(x, kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        if self.rank > 0:
+            a = self.param(
+                "lora_a",
+                nn.initializers.normal(stddev=1.0 / self.rank),
+                (in_f, self.rank),
+                jnp.float32,
+            )
+            b = self.param("lora_b", nn.initializers.zeros, (self.rank, self.features), jnp.float32)
+            scale = self.alpha / self.rank
+            y = y + scale * jnp.dot(jnp.dot(x, a.astype(self.dtype)), b.astype(self.dtype))
+        return y
+
+
+def lora_param_mask(params) -> dict:
+    """Pytree of bools: True for LoRA adapter leaves (lora_a/lora_b) —
+    feeds ``optax.masked`` so only adapters train, the PEFT contract."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def is_lora(path) -> bool:
+        return any(getattr(k, "key", None) in ("lora_a", "lora_b") for k in path)
+
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, [is_lora(p) for p, _ in flat])
+
+
+def merge_lora(params):
+    """Fold adapters into base kernels (deployment export — the reference
+    pushes merged/adapter weights to the Hub, QwenA.py:558-567)."""
+
+    def merge(d):
+        if isinstance(d, dict):
+            if "lora_a" in d and "lora_b" in d and "kernel" in d:
+                rank = d["lora_a"].shape[-1]
+                scale = 16.0 / rank
+                new = dict(d)
+                new["kernel"] = d["kernel"] + scale * d["lora_a"] @ d["lora_b"]
+                new["lora_a"] = jnp.zeros_like(d["lora_a"])
+                new["lora_b"] = jnp.zeros_like(d["lora_b"])
+                return new
+            return {k: merge(v) for k, v in d.items()}
+        return d
+
+    return merge(params)
