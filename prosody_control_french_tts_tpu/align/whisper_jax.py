@@ -1,0 +1,342 @@
+"""Whisper-family encoder-decoder in flax, with word-level timestamps.
+
+TPU-native replacement for the reference's primary aligner, the
+whisper-timestamped stack (Code/Aligners/use_whisper_timestamped.py):
+
+- architecture: log-mel front-end (ops.stft.log_mel), conv×2 (stride 2)
+  encoder with sinusoidal positions, pre-LN transformer; decoder with
+  learned positions, causal self-attention + cross-attention, tied
+  embedding head — the Whisper geometry, written fresh, sized by config
+  (``tiny``/``base``/... presets) so published weights can be ported via
+  the npz loader (no network in this environment);
+- word timestamps: DTW over the time-axis-normalised cross-attention
+  matrix (the whisper-timestamped technique) → monotonic token↔frame
+  path → per-token times → whitespace-grouped word intervals;
+- the reference's audio gates and degraded outputs: RMS < 100 (int16
+  scale) or silence ratio > 95 % → the "..." placeholder result
+  (use_whisper_timestamped.py:197-261), preserved verbatim because
+  downstream steps key on the "..." convention.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.dtw import dtw_path
+from ..ops.stft import log_mel
+from ..utils.textgridio import TextGrid
+from ..utils.wavio import Audio
+from .base import AlignedWord, words_to_textgrid
+
+SAMPLE_RATE = 16000
+HOP = 160
+FRAME_DT = 2 * HOP / SAMPLE_RATE  # encoder stride-2 → 20 ms per frame
+
+
+@dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 80
+    n_audio_ctx: int = 1500  # 30 s windows
+    n_text_ctx: int = 448
+    dim: int = 384
+    heads: int = 6
+    enc_layers: int = 4
+    dec_layers: int = 4
+    vocab_size: int = 8000  # hermetic tokenizer; 51865 for ported weights
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 8000) -> "WhisperConfig":
+        return cls(dim=384, heads=6, enc_layers=4, dec_layers=4, vocab_size=vocab_size)
+
+    @classmethod
+    def test(cls, vocab_size: int = 256) -> "WhisperConfig":
+        return cls(dim=64, heads=2, enc_layers=1, dec_layers=1, vocab_size=vocab_size, n_audio_ctx=200, n_text_ctx=64)
+
+
+def sinusoids(length: int, channels: int) -> np.ndarray:
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+class _MHA(nn.Module):
+    cfg: WhisperConfig
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, return_weights: bool = False):
+        c = self.cfg
+        hd = c.dim // c.heads
+        q = nn.DenseGeneral((c.heads, hd), name="q", dtype=jnp.bfloat16)(q_in)
+        k = nn.DenseGeneral((c.heads, hd), name="k", use_bias=False, dtype=jnp.bfloat16)(kv_in)
+        v = nn.DenseGeneral((c.heads, hd), name="v", dtype=jnp.bfloat16)(kv_in)
+        att = jnp.einsum("...qhd,...khd->...hqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
+        if self.causal:
+            L, S = q_in.shape[-2], kv_in.shape[-2]
+            mask = jnp.tril(jnp.ones((L, S), bool), k=S - L)
+            att = jnp.where(mask, att, jnp.finfo(att.dtype).min)
+        w = jax.nn.softmax(att.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("...hqk,...khd->...qhd", w.astype(q.dtype), v)
+        out = nn.DenseGeneral(c.dim, axis=(-2, -1), name="out", dtype=jnp.bfloat16)(out)
+        return (out, w) if return_weights else (out, None)
+
+
+class _Block(nn.Module):
+    cfg: WhisperConfig
+    cross: bool = False
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x, enc=None, collect_cross: bool = False):
+        h, _ = _MHA(self.cfg, causal=self.causal, name="attn")(
+            nn.LayerNorm(dtype=jnp.float32)(x), nn.LayerNorm(dtype=jnp.float32)(x)
+        )
+        x = x + h
+        cross_w = None
+        if self.cross:
+            hn = nn.LayerNorm(dtype=jnp.float32)(x)
+            h, cross_w = _MHA(self.cfg, name="cross")(hn, enc, return_weights=collect_cross)
+            x = x + h
+        hn = nn.LayerNorm(dtype=jnp.float32)(x)
+        h = nn.Dense(self.cfg.dim * 4, dtype=jnp.bfloat16)(hn)
+        h = jax.nn.gelu(h)
+        x = x + nn.Dense(self.cfg.dim, dtype=jnp.bfloat16)(h)
+        return x, cross_w
+
+
+class WhisperEncoder(nn.Module):
+    cfg: WhisperConfig
+
+    @nn.compact
+    def __call__(self, mel):  # mel: [T, n_mels]
+        c = self.cfg
+        x = nn.Conv(c.dim, (3,), padding="SAME", dtype=jnp.bfloat16, name="conv1")(mel)
+        x = jax.nn.gelu(x)
+        x = nn.Conv(c.dim, (3,), strides=(2,), padding="SAME", dtype=jnp.bfloat16, name="conv2")(x)
+        x = jax.nn.gelu(x)
+        T = x.shape[-2]
+        x = x + jnp.asarray(sinusoids(c.n_audio_ctx, c.dim))[:T]
+        for i in range(c.enc_layers):
+            x, _ = _Block(c, name=f"block_{i}")(x)
+        return nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x)
+
+
+class WhisperDecoder(nn.Module):
+    cfg: WhisperConfig
+
+    @nn.compact
+    def __call__(self, tokens, enc, collect_cross: bool = False):
+        c = self.cfg
+        emb = nn.Embed(c.vocab_size, c.dim, name="tok_emb", dtype=jnp.bfloat16)
+        pos = self.param("pos_emb", nn.initializers.normal(0.01), (c.n_text_ctx, c.dim), jnp.float32)
+        x = emb(tokens) + pos[: tokens.shape[-1]].astype(jnp.bfloat16)
+        cross_ws = []
+        for i in range(c.dec_layers):
+            x, w = _Block(c, cross=True, causal=True, name=f"block_{i}")(
+                x, enc, collect_cross=collect_cross
+            )
+            if collect_cross and w is not None:
+                cross_ws.append(w)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x)
+        logits = x @ emb.embedding.T.astype(x.dtype)
+        return logits, cross_ws
+
+
+class WhisperModel(nn.Module):
+    cfg: WhisperConfig
+
+    def setup(self):
+        self.encoder = WhisperEncoder(self.cfg)
+        self.decoder = WhisperDecoder(self.cfg)
+
+    def __call__(self, mel, tokens, collect_cross: bool = False):
+        enc = self.encoder(mel)
+        return self.decoder(tokens, enc, collect_cross)
+
+    def encode(self, mel):
+        return self.encoder(mel)
+
+    def decode(self, tokens, enc, collect_cross: bool = False):
+        return self.decoder(tokens, enc, collect_cross)
+
+
+# ---------------------------------------------------------------------------
+# cross-attention DTW timestamps (whisper-timestamped technique)
+# ---------------------------------------------------------------------------
+
+
+def token_times_from_cross_attention(
+    cross_ws: list[jnp.ndarray], n_frames: int, frame_dt: float = FRAME_DT
+) -> np.ndarray:
+    """cross_ws: per-layer [..., heads, tokens, frames] weights →
+    [tokens, 2] start/end seconds via DTW over the head-averaged,
+    per-token-normalised attention."""
+    w = np.mean([np.asarray(x, np.float32) for x in cross_ws], axis=0)
+    while w.ndim > 3:
+        w = w.mean(axis=0)
+    w = w.mean(axis=0)  # [tokens, frames]
+    w = w[:, :n_frames]
+    # normalise per token, build a cost and DTW a monotonic path
+    w = w / np.maximum(w.sum(axis=-1, keepdims=True), 1e-9)
+    cost_tokens = -w  # maximise attention ≡ minimise cost
+    n_tok, n_fr = cost_tokens.shape
+    # DP over (token, frame) with steps (1,1) and (0,1): every token gets a
+    # contiguous frame span
+    INF = 1e30
+    D = np.full((n_tok + 1, n_fr + 1), INF)
+    D[0, :] = 0.0
+    choice = np.zeros((n_tok + 1, n_fr + 1), np.int8)
+    for i in range(1, n_tok + 1):
+        for j in range(1, n_fr + 1):
+            diag = D[i - 1, j - 1]
+            left = D[i, j - 1]
+            if diag <= left:
+                D[i, j] = diag + cost_tokens[i - 1, j - 1]
+                choice[i, j] = 1
+            else:
+                D[i, j] = left + cost_tokens[i - 1, j - 1]
+                choice[i, j] = 0
+    # backtrack
+    spans = np.zeros((n_tok, 2))
+    i, j = n_tok, n_fr
+    end_j = j
+    while i > 0 and j > 0:
+        if choice[i, j] == 1:
+            spans[i - 1] = (j - 1, end_j)
+            i -= 1
+            end_j = j - 1
+        j -= 1
+    return spans * frame_dt
+
+
+def group_word_times(tokens: list[str], token_spans: np.ndarray) -> list[AlignedWord]:
+    """Whitespace-boundary grouping of subword tokens into words."""
+    words: list[AlignedWord] = []
+    cur = ""
+    t0 = None
+    t1 = 0.0
+    for tok, (s, e) in zip(tokens, token_spans):
+        starts_word = tok.startswith(" ") or not cur
+        if starts_word and cur:
+            words.append(AlignedWord(t0, t1, cur.strip()))
+            cur = ""
+            t0 = None
+        if t0 is None:
+            t0 = float(s)
+        cur += tok
+        t1 = float(e)
+    if cur.strip():
+        words.append(AlignedWord(t0 or 0.0, t1, cur.strip()))
+    return words
+
+
+# ---------------------------------------------------------------------------
+# audio gates (use_whisper_timestamped.py:197-261)
+# ---------------------------------------------------------------------------
+
+
+def check_audio_content(samples: np.ndarray, int_scale: float = 32768.0) -> tuple[bool, str]:
+    data = np.asarray(samples, np.float32) * int_scale
+    if data.size == 0:
+        return False, "empty audio"
+    rms = float(np.sqrt(np.mean(np.square(data))))
+    silence_ratio = 1.0 - float(np.sum(np.abs(data) > 500) / data.size)
+    if silence_ratio > 0.95:
+        return False, f"File mainly contains silence ({silence_ratio:.2f})"
+    if rms < 100:
+        return False, f"Very low audio level (RMS={rms:.0f})"
+    return True, "Audio valide"
+
+
+EMPTY_TEXT = "..."
+
+
+def empty_result() -> dict:
+    """The reference's placeholder result shape
+    (use_whisper_timestamped.py:244-261)."""
+    return {
+        "text": EMPTY_TEXT,
+        "segments": [
+            {
+                "id": 0,
+                "start": 0.0,
+                "end": 1.0,
+                "text": EMPTY_TEXT,
+                "words": [{"start": 0.0, "end": 1.0, "text": EMPTY_TEXT, "confidence": 0.0}],
+            }
+        ],
+    }
+
+
+class WhisperAligner:
+    """Aligner-protocol wrapper: transcribe (greedy) + timestamp via
+    cross-attention DTW. Requires trained/ported weights to produce real
+    text; the gates and placeholder semantics work regardless."""
+
+    def __init__(self, cfg: WhisperConfig | None = None, params=None, tokenizer=None, weights_path=None):
+        self.cfg = cfg or WhisperConfig.tiny()
+        self.model = WhisperModel(self.cfg)
+        self.tokenizer = tokenizer
+        if weights_path is not None:
+            from .ctc_aligner import load_params
+
+            params = load_params(weights_path)
+        self.params = params
+
+    def features(self, audio: Audio) -> jnp.ndarray:
+        from ..utils.wavio import resample
+
+        audio = audio.to_mono()
+        if audio.rate != SAMPLE_RATE:
+            audio = resample(audio, SAMPLE_RATE)
+        x = jnp.asarray(np.asarray(audio.samples, np.float32))
+        return log_mel(x, SAMPLE_RATE, n_fft=400, hop_length=HOP, n_mels=self.cfg.n_mels)
+
+    def align(self, audio: Audio, transcript: str | None = None) -> TextGrid:
+        audio = audio.to_mono()
+        ok, reason = check_audio_content(np.asarray(audio.samples))
+        if not ok:
+            return words_to_textgrid(
+                [AlignedWord(0.0, min(1.0, audio.duration_seconds), EMPTY_TEXT)],
+                audio.duration_seconds,
+            )
+        if self.params is None or self.tokenizer is None:
+            raise ValueError("WhisperAligner needs weights + tokenizer")
+        text = transcript if transcript is not None else self.transcribe(audio)
+        token_ids = self.tokenizer.encode(text)[1:-1]
+        tokens = [self.tokenizer.decode([t]) for t in token_ids]
+        mel = self.features(audio)
+        ids = jnp.asarray([token_ids], jnp.int32)
+        (_, cross), enc = None, None
+        enc = self.model.apply(self.params, mel[None], method=WhisperModel.encode)
+        _, cross = self.model.apply(
+            self.params, ids, enc, True, method=WhisperModel.decode
+        )
+        n_frames = enc.shape[-2]
+        spans = token_times_from_cross_attention(cross, n_frames)
+        words = group_word_times([" " + t for t in tokens], spans)
+        dur = audio.duration_seconds
+        words = [AlignedWord(min(w.start, dur), min(w.end, dur), w.word) for w in words]
+        return words_to_textgrid(words, dur)
+
+    def transcribe(self, audio: Audio, max_tokens: int = 128) -> str:
+        if self.params is None or self.tokenizer is None:
+            raise ValueError("WhisperAligner needs weights + tokenizer")
+        mel = self.features(audio)
+        enc = self.model.apply(self.params, mel[None], method=WhisperModel.encode)
+        ids = [self.tokenizer.cls_id]
+        for _ in range(max_tokens):
+            logits, _ = self.model.apply(
+                self.params, jnp.asarray([ids], jnp.int32), enc, False, method=WhisperModel.decode
+            )
+            nxt = int(jnp.argmax(logits[0, -1]))
+            if nxt == self.tokenizer.sep_id:
+                break
+            ids.append(nxt)
+        return self.tokenizer.decode(ids)

@@ -1,0 +1,192 @@
+"""Aligner family tests: CTC aligner end-to-end training→alignment,
+Whisper-JAX architecture + cross-attention timestamps + gates,
+synchronized-SSML pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prosody_control_french_tts_tpu.align.ctc_aligner import CharVocab, CTCAligner, load_params, save_params
+from prosody_control_french_tts_tpu.align.whisper_jax import (
+    EMPTY_TEXT,
+    WhisperAligner,
+    WhisperConfig,
+    WhisperModel,
+    check_audio_content,
+    group_word_times,
+    token_times_from_cross_attention,
+)
+from prosody_control_french_tts_tpu.utils.wavio import Audio
+
+SR = 16000
+
+
+class TestCharVocab:
+    def test_encode_and_spans(self):
+        v = CharVocab()
+        labels, spans = v.word_spans(["le", "chat"])
+        assert len(labels) == 2 + 1 + 4  # 'le' + space + 'chat'
+        assert spans == [(0, 2), (3, 7)]
+        assert all(l > 0 for l in labels)
+
+
+def _tone_word_audio(freqs, dur=0.25, gap=0.15):
+    """Distinct tones per 'word' with silent gaps; highly separable
+    features for the CTC model to learn."""
+    chunks = []
+    for f in freqs:
+        t = np.arange(int(SR * dur)) / SR
+        chunks.append(0.5 * np.sin(2 * np.pi * f * t))
+        chunks.append(np.zeros(int(SR * gap)))
+    return np.concatenate(chunks)
+
+
+class TestCTCAligner:
+    def test_train_and_align(self):
+        """Train the tiny encoder to map tone A→'aa', tone B→'bb'; then
+        forced alignment must place the words on their tones."""
+        al = CTCAligner(dim=48, layers=1)
+        al.init_params()
+        init, step = al.make_train_step(lr=3e-3)
+        opt = init(al.params)
+        vocab = al.vocab
+
+        x = _tone_word_audio([300.0, 1200.0])
+        audio = Audio(x, SR)
+        mel = al.features(audio)
+        labels, spans = vocab.word_spans(["aa", "bb"])
+        labels_j = jnp.asarray(labels, jnp.int32)
+        T = mel.shape[0]
+        params = al.params
+        for i in range(60):
+            params, opt, loss = step(params, opt, mel, jnp.int32(T // 2), labels_j, jnp.int32(len(labels)))
+        al.params = params
+        assert float(loss) < 10.0
+
+        tg = al.align(audio, "aa bb")
+        words = [iv for iv in tg.tiers[0] if iv.mark.strip()]
+        assert [w.mark for w in words] == ["aa", "bb"]
+        # first word within the first tone+gap region, second word after
+        assert words[0].min_time < 0.3
+        assert words[1].min_time > 0.25
+
+    def test_save_load_roundtrip(self, tmp_path):
+        al = CTCAligner(dim=32, layers=1)
+        p = al.init_params()
+        save_params(p, tmp_path / "w.npz")
+        p2 = load_params(tmp_path / "w.npz")
+        leaves1 = jax.tree.leaves(p)
+        leaves2 = jax.tree.leaves(p2)
+        assert len(leaves1) == len(leaves2)
+        np.testing.assert_array_equal(np.asarray(leaves1[0]), np.asarray(leaves2[0]))
+
+
+class TestWhisperArch:
+    def test_forward_shapes(self):
+        cfg = WhisperConfig.test()
+        model = WhisperModel(cfg)
+        mel = jnp.zeros((1, 100, cfg.n_mels))
+        toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), mel, toks)
+        logits, cross = model.apply(params, mel, toks, True)
+        assert logits.shape == (1, 3, cfg.vocab_size)
+        assert len(cross) == cfg.dec_layers
+        # encoder stride 2: frames = 50
+        assert cross[0].shape[-1] == 50
+        assert cross[0].shape[-2] == 3
+
+    def test_decoder_causality(self):
+        cfg = WhisperConfig.test()
+        model = WhisperModel(cfg)
+        mel = jnp.zeros((1, 60, cfg.n_mels))
+        t1 = jnp.asarray([[5, 6, 7]], jnp.int32)
+        t2 = jnp.asarray([[5, 6, 9]], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), mel, t1)
+        l1, _ = model.apply(params, mel, t1, False)
+        l2, _ = model.apply(params, mel, t2, False)
+        np.testing.assert_allclose(np.asarray(l1)[:, :2], np.asarray(l2)[:, :2], rtol=2e-2, atol=2e-3)
+
+
+class TestTimestampDTW:
+    def test_diagonal_attention_recovers_spans(self):
+        # synthetic cross-attention: token i attends to frames [10i, 10i+10)
+        n_tok, n_fr = 4, 40
+        w = np.zeros((1, 2, n_tok, n_fr), np.float32)  # [batch? heads, tok, fr]
+        for i in range(n_tok):
+            w[0, :, i, 10 * i : 10 * i + 10] = 1.0
+        spans = token_times_from_cross_attention([jnp.asarray(w)], n_fr, frame_dt=0.02)
+        # each token ≈ 0.2 s long, monotonic
+        for i in range(n_tok):
+            assert abs(spans[i, 0] - 0.2 * i) < 0.05
+        assert (np.diff(spans[:, 0]) > 0).all()
+
+    def test_group_word_times(self):
+        spans = np.array([[0.0, 0.1], [0.1, 0.2], [0.2, 0.4]])
+        words = group_word_times([" bon", "jour", " monde"], spans)
+        assert [w.word for w in words] == ["bon jour".replace(" ", "") if False else "bonjour", "monde"]
+        assert words[0].start == 0.0 and abs(words[0].end - 0.2) < 1e-9
+        assert abs(words[1].start - 0.2) < 1e-9
+
+
+class TestGates:
+    def test_silence_gate(self):
+        ok, reason = check_audio_content(np.zeros(SR))
+        assert not ok and "silence" in reason.lower() or "low" in reason.lower()
+
+    def test_low_rms_gate(self):
+        ok, _ = check_audio_content(np.ones(SR) * 1e-4)
+        assert not ok
+
+    def test_valid_audio(self):
+        t = np.arange(SR) / SR
+        ok, _ = check_audio_content(0.3 * np.sin(2 * np.pi * 220 * t))
+        assert ok
+
+    def test_aligner_placeholder_on_silence(self):
+        al = WhisperAligner(WhisperConfig.test())
+        tg = al.align(Audio(np.zeros(SR), SR))
+        marks = [iv.mark for iv in tg.tiers[0] if iv.mark.strip()]
+        assert marks == [EMPTY_TEXT]
+
+
+class TestSynchronizedPipeline:
+    def test_six_steps(self, tmp_path):
+        from prosody_control_french_tts_tpu.core.synchronized import SynchronizedSSMLPipeline
+        from prosody_control_french_tts_tpu.tts.fake import FakeBackend
+        from prosody_control_french_tts_tpu.utils import wavio
+        from prosody_control_french_tts_tpu.utils.textgridio import word_tier_with_silences, write_textgrid
+
+        gen = FakeBackend(seed=4)
+        audio_dir = tmp_path / "audio"
+        tg_dir = tmp_path / "tg"
+        txt_dir = tmp_path / "txt"
+        for d in (audio_dir, tg_dir, txt_dir):
+            d.mkdir()
+        words = ["bonjour", "le", "monde."]
+        t = 0.0
+        chunks = []
+        times = []
+        for w in words:
+            a = gen._voice(w, 0, 0, 0)
+            times.append((t, t + len(a) / 44100, w))
+            t += len(a) / 44100
+            chunks.append(a)
+            chunks.append(np.zeros(int(0.2 * 44100)))
+            t += 0.2
+        x = np.concatenate(chunks)
+        wavio.write_wav(audio_dir / "segment_ph1.wav", x, 44100)
+        write_textgrid(word_tier_with_silences(times, len(x) / 44100), tg_dir / "segment_ph1.TextGrid")
+        (txt_dir / "segment_ph1.txt").write_text("bonjour le monde.")
+
+        pipe = SynchronizedSSMLPipeline(
+            audio_dir=audio_dir, textgrid_dir=tg_dir, transcription_dir=txt_dir,
+            work_dir=tmp_path / "work", tts=FakeBackend(seed=8),
+        )
+        out = pipe.run_pipeline()
+        assert out is not None and out.exists()
+        assert (tmp_path / "work" / "ssml" / "SSML_V1_segment_ph1.xml").exists()
+        v2 = (tmp_path / "work" / "ssml" / "SSML_V2_segment_ph1.xml").read_text()
+        assert "<prosody rate=" in v2
+        adj = pipe.adjustments["segment_ph1"]["rate_adjustment"]
+        assert -50.0 <= adj <= 100.0
