@@ -92,13 +92,14 @@ def main():
             )
         )
 
-    # warmup/compile
+    # warmup/compile — must READ a value: on this runtime (axon tunnel,
+    # and this jax build generally) block_until_ready does NOT force
+    # compilation/execution of unconsumed results, so a block-only warmup
+    # leaves the compile inside the timed region.
     out = _measure_device(*arg_sets[-1], **kw)
-    jax.block_until_ready(out)
+    float(np.asarray(out[1])[0])
 
-    # Each iteration pulls one scalar to host: block_until_ready alone has
-    # been observed not to force execution of otherwise-unconsumed results
-    # on this runtime, which silently benchmarks nothing.
+    # Each iteration pulls one scalar to host for the same reason.
     sink = 0.0
     t0 = time.perf_counter()
     for k in range(iters):

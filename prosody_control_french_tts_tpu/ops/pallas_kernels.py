@@ -1,0 +1,100 @@
+"""Pallas TPU kernels for the acoustic hot path.
+
+``extract_frames``: fused frame gather + Hanning windowing for the pitch
+kernel's analysis frames. The XLA gather path materialises a [F, W] index
+matrix and reads HBM with 4× duplication (hop ≈ W/4); this kernel DMAs
+each frame's span HBM→VMEM once, multiplies by the window in VMEM, and
+writes the frame block — one pass, no index tensor. Frame starts are
+non-uniform (Praat's centred geometry), so they arrive as a scalar-prefetch
+operand driving the DMA offsets (pltpu.PrefetchScalarGridSpec).
+
+On CPU (tests/dev) the kernel runs in interpreter mode; numerics match the
+gather path exactly (see tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+FRAMES_PER_BLOCK = 8
+
+
+def _frames_kernel(starts_ref, x_hbm, win_ref, out_ref, scratch, sems):
+    """One grid step = FRAMES_PER_BLOCK frames.
+
+    starts_ref: [F_padded] SMEM (scalar prefetch); x_hbm: [T] in ANY/HBM;
+    win_ref: [1, W] VMEM; out_ref: [FRAMES_PER_BLOCK, W] VMEM block;
+    scratch: [FRAMES_PER_BLOCK, W] VMEM; sems: DMA semaphores.
+    """
+    blk = pl.program_id(0)
+    base = blk * FRAMES_PER_BLOCK
+
+    # start all DMAs, then wait — overlapping copies
+    for i in range(FRAMES_PER_BLOCK):
+        start = starts_ref[base + i]
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, out_ref.shape[1])], scratch.at[i], sems.at[i]
+        ).start()
+    for i in range(FRAMES_PER_BLOCK):
+        start = starts_ref[base + i]
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, out_ref.shape[1])], scratch.at[i], sems.at[i]
+        ).wait()
+
+    out_ref[:, :] = scratch[:, :] * win_ref[0, :]
+
+
+@partial(jax.jit, static_argnames=("width", "interpret"))
+def extract_frames(
+    x: jnp.ndarray, starts: jnp.ndarray, window: jnp.ndarray, width: int, interpret: bool = False
+) -> jnp.ndarray:
+    """x: [T] f32; starts: [F] int32 (clipped to T-width by caller);
+    window: [width] f32 → frames [F, width] = x[start:start+width]·window."""
+    F = starts.shape[0]
+    Fp = ((F + FRAMES_PER_BLOCK - 1) // FRAMES_PER_BLOCK) * FRAMES_PER_BLOCK
+    starts_p = jnp.zeros((Fp,), jnp.int32).at[:F].set(starts.astype(jnp.int32))
+    grid = Fp // FRAMES_PER_BLOCK
+
+    out = pl.pallas_call(
+        _frames_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+                pl.BlockSpec((1, width), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (FRAMES_PER_BLOCK, width), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((FRAMES_PER_BLOCK, width), jnp.float32),
+                pltpu.SemaphoreType.DMA((FRAMES_PER_BLOCK,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Fp, width), jnp.float32),
+        interpret=interpret,
+    )(starts_p, x.astype(jnp.float32), window.astype(jnp.float32)[None, :])
+    return out[:F]
+
+
+def extract_frames_reference(x, starts, window, width):
+    """The XLA gather path (what ops.pitch uses by default) — the oracle
+    for the kernel and the fallback off-TPU."""
+    idx = starts[:, None] + jnp.arange(width)[None, :]
+    idx = jnp.clip(idx, 0, x.shape[-1] - 1)
+    return jnp.take(x, idx, axis=-1) * window[None, :]
+
+
+def frames_op(x, starts, window, width: int):
+    """Dispatch: pallas on TPU, gather elsewhere."""
+    platform = jax.devices()[0].platform
+    if platform == "tpu":
+        return extract_frames(x, starts, window, width)
+    return extract_frames_reference(x, starts, window, width)

@@ -1,0 +1,89 @@
+"""Native C++ audio runtime + Pallas kernel tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from prosody_control_french_tts_tpu.utils import native_audio, wavio
+
+
+@pytest.fixture(scope="module")
+def native():
+    if not native_audio.ensure_built():
+        pytest.skip("native toolchain unavailable")
+    return native_audio
+
+
+class TestNativeAudio:
+    def test_decode_bit_exact(self, native, tmp_path, rng):
+        x = (rng.normal(size=44100) * 0.2).clip(-1, 1)
+        p = tmp_path / "x.wav"
+        wavio.write_wav(p, x, 44100)
+        ns, rate = native.decode(p)
+        py = wavio.read_wav(p).to_mono()
+        assert rate == 44100
+        np.testing.assert_array_equal(ns, py.samples.astype(np.float32))
+
+    def test_stereo_mixdown(self, native, tmp_path):
+        st = np.stack([np.ones(500) * 0.5, np.zeros(500)], axis=1)
+        p = tmp_path / "s.wav"
+        wavio.write_wav(p, st, 8000)
+        ns, rate = native.decode(p)
+        assert abs(float(ns.mean()) - 0.25) < 1e-3
+
+    def test_batch_load_padded(self, native, tmp_path, rng):
+        paths = []
+        for i, n in enumerate((1000, 2000, 1500)):
+            p = tmp_path / f"b{i}.wav"
+            wavio.write_wav(p, rng.normal(size=n) * 0.1, 16000)
+            paths.append(p)
+        batch, lens, rate = native.load_batch(paths, stride=4096)
+        assert batch.shape == (3, 4096)
+        assert list(lens) == [1000, 2000, 1500]
+        assert rate == 16000
+        assert batch[0, 1000:].max() == 0.0  # padded
+
+    def test_batch_failure_row(self, native, tmp_path):
+        bad = tmp_path / "bad.wav"
+        bad.write_bytes(b"junk")
+        batch, lens, rate = native.load_batch([bad], stride=64)
+        assert lens[0] == 0 and batch[0].max() == 0.0
+
+    def test_resample_tone(self, native, tmp_path):
+        sr = 44100
+        t = np.arange(sr) / sr
+        x = 0.5 * np.sin(2 * np.pi * 440 * t)
+        p = tmp_path / "t.wav"
+        wavio.write_wav(p, x, sr)
+        batch, lens, rate = native.load_batch([p], stride=20000, target_rate=16000)
+        assert rate == 16000 and abs(int(lens[0]) - 16000) <= 2
+        y = batch[0, : int(lens[0])]
+        # 440 Hz survives: zero-crossing count ≈ 880
+        zc = int(((y[:-1] < 0) & (y[1:] >= 0)).sum())
+        assert abs(zc - 440) < 10
+
+    def test_window_rms_matches_ops(self, native, rng):
+        from prosody_control_french_tts_tpu.ops.energy import _window_rms_sq
+
+        x = (rng.normal(size=22050) * 0.1).astype(np.float32)
+        wr = native.window_rms(x, 22050, 100)
+        ours = np.floor(np.sqrt(np.asarray(_window_rms_sq(jnp.asarray(x), 22050, 100))) * 32768)
+        assert wr.shape == ours.shape
+        assert np.abs(wr - ours).max() <= 1.0  # float64 vs float32 prefix sums
+
+
+class TestPallasFrames:
+    def test_interpret_matches_gather(self, rng):
+        from prosody_control_french_tts_tpu.ops.pallas_kernels import (
+            extract_frames,
+            extract_frames_reference,
+        )
+
+        T, W, F = 8192, 256, 37
+        x = jnp.asarray(rng.normal(size=T).astype(np.float32))
+        starts = jnp.asarray(rng.integers(0, T - W, size=F).astype(np.int32))
+        win = jnp.asarray((0.5 - 0.5 * np.cos(2 * np.pi * np.arange(W) / W)).astype(np.float32))
+        ref = extract_frames_reference(x, starts, win, W)
+        out = extract_frames(x, starts, win, W, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
