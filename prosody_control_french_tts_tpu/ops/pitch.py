@@ -275,9 +275,7 @@ def _pitch_frames(x: jnp.ndarray, sr: float, num_samples: int, p: PitchParams, l
     return freq, strength, intensity, frame_valid
 
 
-@partial(jax.jit, static_argnames=("p", "dt"))
-def _viterbi(freq: jnp.ndarray, strength: jnp.ndarray, intensity: jnp.ndarray, p: PitchParams, dt: float):
-    """Praat's Pitch path finder as a lax.scan. freq/strength: [F, K]."""
+def _viterbi_inputs(freq, strength, intensity, p: PitchParams, dt: float):
     time_step_correction = dt / 0.01
     vuv_cost = p.voiced_unvoiced_cost * time_step_correction
     jump_cost = p.octave_jump_cost * time_step_correction
@@ -291,7 +289,15 @@ def _viterbi(freq: jnp.ndarray, strength: jnp.ndarray, intensity: jnp.ndarray, p
         strength - p.octave_cost * jnp.log2(p.ceiling / jnp.maximum(freq, 1e-6)),
         unvoiced_strength[:, None],
     )  # [F, K]
+    return delta, voiced, vuv_cost, jump_cost
 
+
+@partial(jax.jit, static_argnames=("p", "dt"))
+def _viterbi_sequential(freq: jnp.ndarray, strength: jnp.ndarray, intensity: jnp.ndarray, p: PitchParams, dt: float):
+    """Praat's Pitch path finder as a lax.scan (reference implementation;
+    the parallel max-plus version below is the production path —
+    tests assert both produce the same track). freq/strength: [F, K]."""
+    delta, voiced, vuv_cost, jump_cost = _viterbi_inputs(freq, strength, intensity, p, dt)
     safe_f = jnp.maximum(freq, 1e-6)
 
     def trans_cost(f_prev, v_prev, f_cur, v_cur):
@@ -326,6 +332,81 @@ def _viterbi(freq: jnp.ndarray, strength: jnp.ndarray, intensity: jnp.ndarray, p
     first, path_rev = jax.lax.scan(backtrack, last, back[::-1])
     path = jnp.concatenate([first[None], path_rev[::-1]], axis=0)
 
+    f0 = jnp.take_along_axis(freq, path[:, None], axis=-1)[:, 0]
+    v = jnp.take_along_axis(voiced, path[:, None], axis=-1)[:, 0]
+    return jnp.where(v, f0, 0.0)
+
+
+@partial(jax.jit, static_argnames=("p", "dt"))
+def _viterbi(freq: jnp.ndarray, strength: jnp.ndarray, intensity: jnp.ndarray, p: PitchParams, dt: float):
+    """Parallel Viterbi in the (max, +) semiring.
+
+    The sequential scan costs one device step per frame (~10⁴ steps per
+    segment — the dominant cost of the whole measure program on TPU).
+    Dynamic programming over a fixed candidate set is a max-plus
+    matrix chain, which is associative, so:
+
+    - build per-frame transition matrices M_t[j, k] = −cost(j→k) + δ_t[k];
+    - prefix max-plus products via ``lax.associative_scan`` (log₂F depth,
+      [F, K, K] elementwise work — VPU-parallel);
+    - suffix products likewise (reverse=True) give the best-future score
+      β_t[k]; the optimal path is then argmax_k(α_t[k] + β_t[k]) *per
+      frame independently* — no sequential backtrack at all.
+    """
+    delta, voiced, vuv_cost, jump_cost = _viterbi_inputs(freq, strength, intensity, p, dt)
+    F, K = delta.shape
+    safe_f = jnp.maximum(freq, 1e-6)
+
+    # transition cost between frame t-1 (axis j) and frame t (axis k):
+    v_prev = voiced[:-1][:, :, None]
+    v_cur = voiced[1:][:, None, :]
+    jump = jump_cost * jnp.abs(
+        jnp.log2(safe_f[:-1][:, :, None] / safe_f[1:][:, None, :])
+    )
+    cost = jnp.where(
+        (~v_prev) & (~v_cur), 0.0, jnp.where(v_prev & v_cur, jump, vuv_cost)
+    )  # [F-1, K, K]
+    M = -cost + delta[1:][:, None, :]  # [F-1, K, K]
+
+    NEG = jnp.float32(-1e30)
+
+    def combine(a, b):
+        # max-plus product along the chain: (a ⊗ b)[j,k] = max_m a[j,m]+b[m,k].
+        # Two float32 guards, both argmax-preserving:
+        # - renormalise by the matrix max (a uniform shift): raw scores grow
+        #   ~2.5/frame and rounding at |score|≈10⁴ would corrupt millicost
+        #   decisions;
+        # - clamp entries at −CLAMP: a state influences the path only
+        #   through one transition (≤~0.5) plus one frame's delta spread
+        #   (≤~4), so an entry lagging the block max by ≥8 can never be on
+        #   the optimum; clamping bounds the dynamic range so rounding
+        #   stays ~1e-6.
+        r = jnp.max(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+        r = r - jnp.max(r, axis=(-2, -1), keepdims=True)
+        return jnp.maximum(r, -32.0)
+
+    if F == 1:
+        best = jnp.argmax(delta, axis=-1)
+        f0 = jnp.take_along_axis(freq, best[:, None], axis=-1)[:, 0]
+        v = jnp.take_along_axis(voiced, best[:, None], axis=-1)[:, 0]
+        return jnp.where(v, f0, 0.0)
+
+    prefix = jax.lax.associative_scan(combine, M, axis=0)  # P_t = M_1⊗…⊗M_t
+    alpha = jnp.concatenate(
+        [delta[:1], jnp.max(delta[0][None, :, None] + prefix, axis=1)], axis=0
+    )  # [F, K]
+    # suffix products M_t⊗…⊗M_{F-1}: max-plus matmul is non-commutative, so
+    # a reverse=True scan (which feeds combine in flipped order) is wrong;
+    # use (A⊗B)ᵀ = Bᵀ⊗Aᵀ — scan the transposed, order-reversed chain and
+    # transpose back.
+    Mt_rev = jnp.swapaxes(M, -1, -2)[::-1]
+    suffix_t = jax.lax.associative_scan(combine, Mt_rev, axis=0)
+    suffix = jnp.swapaxes(suffix_t, -1, -2)[::-1]
+    beta = jnp.concatenate(
+        [jnp.max(suffix, axis=2), jnp.zeros((1, K), delta.dtype)], axis=0
+    )  # [F, K]
+
+    path = jnp.argmax(alpha + beta, axis=-1)  # [F]
     f0 = jnp.take_along_axis(freq, path[:, None], axis=-1)[:, 0]
     v = jnp.take_along_axis(voiced, path[:, None], axis=-1)[:, 0]
     return jnp.where(v, f0, 0.0)

@@ -87,6 +87,28 @@ class TestPitch:
         assert v.min() > 220 and v.max() < 280
         assert v.max() - v.min() > 25  # actually tracks the modulation
 
+    def test_parallel_viterbi_matches_sequential(self, rng):
+        """The production max-plus associative-scan path finder must equal
+        the sequential reference scan (order-correct suffix products,
+        renormalised+clamped combine)."""
+        from prosody_control_french_tts_tpu.ops.pitch import (
+            PitchParams,
+            _geometry,
+            _pitch_frames,
+            _viterbi,
+            _viterbi_sequential,
+        )
+        import jax.numpy as jnp
+
+        pp = PitchParams()
+        x = tone(210.0, dur=1.2) + 0.05 * rng.normal(size=int(SR * 1.2))
+        x[: SR // 4] = 0.0  # leading silence → voiced/unvoiced transitions
+        g = _geometry(len(x), SR, pp)
+        freq, strength, inten, _ = _pitch_frames(jnp.asarray(x, jnp.float32), SR, len(x), pp)
+        f_seq = np.asarray(_viterbi_sequential(freq, strength, inten, pp, g["dt"]))
+        f_par = np.asarray(_viterbi(freq, strength, inten, pp, g["dt"]))
+        np.testing.assert_array_equal(f_seq, f_par)
+
     def test_median_in_windows(self):
         x = np.concatenate([tone(200.0, 0.5), tone(400.0, 0.5)])
         tr = praat_pitch(x, SR)
