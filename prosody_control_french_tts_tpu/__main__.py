@@ -1,0 +1,138 @@
+"""Umbrella CLI: ``python -m prosody_control_french_tts_tpu <command>``.
+
+Commands mirror the reference's entry points (README.md:118-143 usage):
+
+  run        the 8-step voice pipeline (Code/audioPipeline.py __main__)
+  legacy     the BDD1→BDD5 Voc chain
+  sync       the synchronized-SSML 6-step pipeline
+  abtest     AB-test pair preparation (Code/prepare_AB_test.py)
+  viz        plot-data HTTP viewer (visualisation apps)
+  analyze    corpus statistics (analyze_dataset.py)
+  corpus     natural-corpus assembly (create_natural_data.py)
+  bench      the throughput benchmark
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv: list[str] | None = None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(__doc__)
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "run":
+        from .core.pipeline import main as run_main
+
+        return run_main(rest)
+    if cmd == "sync":
+        import argparse
+
+        from .core.config import load_config
+        from .core.synchronized import SynchronizedSSMLPipeline
+
+        ap = argparse.ArgumentParser(prog="sync")
+        ap.add_argument("--config", default="config.yaml")
+        ap.add_argument("--voice", required=True)
+        args = ap.parse_args(rest)
+        cfg = load_config(args.config)
+        from .core.pipeline import AudioPipeline
+
+        pipe = AudioPipeline(args.voice, cfg)
+        sp = SynchronizedSSMLPipeline(
+            audio_dir=pipe.voice_dir / "audio",
+            textgrid_dir=pipe.textgrid_dir,
+            transcription_dir=pipe.transcription_dir,
+            work_dir=pipe.results_dir / "synchronized",
+            tts=pipe.tts,
+            voice=cfg.azure_voice_name,
+        )
+        out = sp.run_pipeline()
+        print(out)
+        return 0
+    if cmd == "legacy":
+        import argparse
+
+        from .core.config import load_config
+        from .legacy.voc import Voc
+
+        ap = argparse.ArgumentParser(prog="legacy")
+        ap.add_argument("--config", default="config.yaml")
+        ap.add_argument("--voice", required=True)
+        args = ap.parse_args(rest)
+        cfg = load_config(args.config)
+        from .core.pipeline import AudioPipeline
+
+        pipe = AudioPipeline(args.voice, cfg)
+        voc = Voc(
+            pipe.voice_dir,
+            pipe.raw_synth_dir,
+            pipe.results_dir / "legacy",
+            tts=pipe.tts,
+            voice_name=cfg.azure_voice_name,
+        )
+        print(voc.run_pipeline())
+        return 0
+    if cmd == "abtest":
+        import argparse
+
+        from .core.config import load_config
+        from .eval.abtest import prepare_ab_test
+
+        ap = argparse.ArgumentParser(prog="abtest")
+        ap.add_argument("--config", default="config.yaml")
+        args = ap.parse_args(rest)
+        cfg = load_config(args.config)
+        ab = cfg.ab_test
+        chunks = prepare_ab_test(
+            cfg.out_path / "results",
+            cfg.data_path,
+            cfg.base_dir / ab.get("output_dir", "Out/AB_test"),
+            voices=ab.get("voices"),
+            num_pairs=ab.get("num_pairs", 44),
+            target_duration_s=ab.get("target_duration_s", 60),
+            margin_s=ab.get("margin_s", 15),
+        )
+        print(f"exported {len(chunks)} AB pairs")
+        return 0
+    if cmd == "viz":
+        from .viz.server import main as viz_main
+
+        return viz_main(rest)
+    if cmd == "analyze":
+        import argparse
+        import json
+
+        from .eval.dataset_stats import analyze_dataset
+
+        ap = argparse.ArgumentParser(prog="analyze")
+        ap.add_argument("corpus_dir")
+        args = ap.parse_args(rest)
+        print(json.dumps(analyze_dataset(args.corpus_dir), indent=2, ensure_ascii=False))
+        return 0
+    if cmd == "corpus":
+        import argparse
+
+        from .audio.corpus import build_natural_corpus
+
+        ap = argparse.ArgumentParser(prog="corpus")
+        ap.add_argument("data_dir")
+        ap.add_argument("out_dir")
+        args = ap.parse_args(rest)
+        n = build_natural_corpus(args.data_dir, args.out_dir)
+        print(f"{n} pairs")
+        return 0
+    if cmd == "bench":
+        import runpy
+        from pathlib import Path
+
+        runpy.run_path(str(Path(__file__).resolve().parent.parent / "bench.py"), run_name="__main__")
+        return 0
+    print(f"unknown command {cmd!r}\n{__doc__}")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)
