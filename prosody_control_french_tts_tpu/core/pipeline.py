@@ -469,16 +469,24 @@ class AudioPipeline:
             ("Compare Breaks", self.compare_breaks),
         ]
         to_run = self.cfg.steps_to_run or [n for n, _ in steps]
+        from .profiling import StepTimer
+
+        timer = StepTimer()
         for name, fn in [(n, f) for n, f in steps if n in to_run]:
             log.info("[%s] step: %s", self.name, name)
             try:
-                fn()
+                with timer.step(name, voice=self.name):
+                    fn()
             except Exception:
                 log.exception("Failed step %s", name)
+                timer.dump(self.results_dir / "step_timings.jsonl")
                 raise
+        # run provenance: config + per-step timings (the reference dumps
+        # used_config.yaml only, Code/audioPipeline.py:1099-1103)
         cfg_path = self.results_dir / "used_config.yaml"
         with open(cfg_path, "w", encoding="utf-8") as f:
             yaml.dump(self.cfg.raw, f, default_flow_style=False, allow_unicode=True)
+        timer.dump(self.results_dir / "step_timings.jsonl")
         log.info("Config saved to %s", cfg_path)
 
 

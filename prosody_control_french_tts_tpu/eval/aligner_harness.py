@@ -32,6 +32,18 @@ def words_of(tg: TextGrid | str) -> list[WordInterval]:
     return [WordInterval(iv.min_time, iv.max_time, iv.mark.strip()) for iv in tg.tiers[0] if iv.mark.strip()]
 
 
+def textgrid_to_transcript(tg: TextGrid | str, normalize_spelling: bool = True) -> str:
+    """Gold transcript from a (manually corrected) TextGrid
+    (Code/whisper_testing/textgrid_to_transcript.py:13 —
+    spelling normalisation here is whitespace/ellipsis cleanup; the
+    reference's spaCy pass corrected casing variants)."""
+    words = [w.word for w in words_of(tg)]
+    text = " ".join(words)
+    if normalize_spelling:
+        text = text.replace("...", ".").replace("  ", " ").strip()
+    return text
+
+
 def read_audacity_labels(path: str | Path) -> list[WordInterval]:
     """Audacity label track (word_level.py:4-77 export format)."""
     out = []

@@ -150,10 +150,33 @@ def _measure_device(
 
 def _load_padded(paths_or_arrays, rate_expect=None):
     """Read wavs (or accept arrays) → ([S, T] float32 padded, lengths, rate,
-    ok-flags)."""
+    ok-flags). Uses the native C++ batch loader when available and all
+    inputs are paths (utils.native_audio; pure-Python fallback otherwise)."""
+    items = list(paths_or_arrays)
+    if items and all(isinstance(p, (str, Path)) and p is not None for p in items):
+        try:
+            from ..utils.native_audio import available, load_batch
+            from ..utils.wavio import wav_info
+
+            if available():
+                sizes = []
+                for p in items:
+                    try:
+                        sizes.append(wav_info(p)[0])  # header-only probe
+                    except (FileNotFoundError, ValueError, OSError):
+                        sizes.append(1)
+                T = bucket_length(max(sizes))
+                res = load_batch(items, stride=T)
+                if res is not None:
+                    batch, lens, rate = res
+                    ok = lens > 0
+                    return batch, lens.astype(np.int32), rate, np.asarray(ok)
+        except Exception:  # noqa: BLE001 — fall back to the python path
+            pass
+
     sigs, ok = [], []
     rate = rate_expect
-    for item in paths_or_arrays:
+    for item in items:
         if item is None:
             sigs.append(np.zeros(1, np.float32))
             ok.append(False)

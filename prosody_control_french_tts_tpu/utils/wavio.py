@@ -132,6 +132,33 @@ def read_wav(path: str | Path) -> Audio:
     return Audio(arr, rate, src)
 
 
+def wav_info(path: str | Path) -> tuple[int, int]:
+    """(mono_sample_count, rate) from the RIFF headers only — no sample
+    decode (used to size batch buffers before the native loader runs)."""
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        channels, rate, bits, data_len = 1, 0, 16, 0
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            if cid == b"fmt ":
+                body = f.read(size + (size & 1))
+                _tag, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data_len = size
+                f.seek(size + (size & 1), 1)
+            else:
+                f.seek(size + (size & 1), 1)
+        if not rate:
+            raise ValueError(f"{path}: missing fmt chunk")
+        bytes_per = max(bits // 8, 1) * max(channels, 1)
+        return data_len // bytes_per, rate
+
+
 def write_wav(path: str | Path, audio: Audio | np.ndarray, rate: int | None = None) -> None:
     """Write PCM16 WAV (the reference's universal interchange format)."""
     if isinstance(audio, Audio):

@@ -152,3 +152,38 @@ class TestText:
 
     def test_xml_escape(self):
         assert text.xml_escape("a & b < c") == "a &amp; b &lt; c"
+
+
+class TestWavInfo:
+    def test_header_probe(self, tmp_path, rng):
+        from prosody_control_french_tts_tpu.utils.wavio import wav_info, write_wav
+
+        x = rng.normal(size=12345) * 0.1
+        write_wav(tmp_path / "p.wav", x, 22050)
+        n, rate = wav_info(tmp_path / "p.wav")
+        assert n == 12345 and rate == 22050
+
+
+class TestTTSBatch:
+    def test_folder_synthesis_with_resume(self, tmp_path):
+        from prosody_control_french_tts_tpu.tts.batch import clean_ssml_for_azure, process_ssml_folder
+        from prosody_control_french_tts_tpu.tts.fake import FakeBackend
+
+        ssml_dir = tmp_path / "xml"
+        ssml_dir.mkdir()
+        for i in range(3):
+            (ssml_dir / f"{i:04d}.xml").write_text(
+                '<?xml version="1.0"?>\n<speak xmlns="http://www.w3.org/2001/10/synthesis" '
+                'version="1.0" xml:lang="fr-FR">\n  <voice name="v">\n    '
+                f"<prosody pitch=\"+1.00%\" rate=\"+0.00%\" volume=\"+0.00%\">mot {i}</prosody>\n"
+                "  </voice>\n</speak>"
+            )
+        tts = FakeBackend(seed=2)
+        ok, bad = process_ssml_folder(tts, ssml_dir, tmp_path / "wav")
+        assert (ok, bad) == (3, 0)
+        calls = tts.calls
+        # resume: nothing re-synthesized
+        ok2, _ = process_ssml_folder(tts, ssml_dir, tmp_path / "wav")
+        assert ok2 == 3 and tts.calls == calls
+        cleaned = clean_ssml_for_azure('<?xml version="1.0"?>\n<speak>  <a> </a>  </speak>')
+        assert cleaned.startswith("<speak>") and "?xml" not in cleaned
