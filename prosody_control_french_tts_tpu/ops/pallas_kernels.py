@@ -9,7 +9,16 @@ non-uniform (Praat's centred geometry), so they arrive as a scalar-prefetch
 operand driving the DMA offsets (pltpu.PrefetchScalarGridSpec).
 
 On CPU (tests/dev) the kernel runs in interpreter mode; numerics match the
-gather path exactly (see tests/test_pallas.py).
+gather path exactly (see tests/test_native_and_pallas.py).
+
+Status on real v5e hardware: Mosaic currently rejects 1-D HBM DMA slices
+whose start is not aligned to the 1024-element tiling, and
+``tpu.dynamic_rotate`` lowering for the aligned-span + dynamic-shift
+workaround is unavailable in this libtpu — so ``frames_op`` dispatches to
+the XLA gather path on TPU for now (measured: frame extraction is <10 % of
+the measure program; the FFT autocorrelation dominates). The kernel stays
+as the interpreter-validated blueprint for when Mosaic grows unaligned
+1-D DMA or dynamic lane rotates.
 """
 
 from __future__ import annotations
@@ -93,8 +102,7 @@ def extract_frames_reference(x, starts, window, width):
 
 
 def frames_op(x, starts, window, width: int):
-    """Dispatch: pallas on TPU, gather elsewhere."""
-    platform = jax.devices()[0].platform
-    if platform == "tpu":
-        return extract_frames(x, starts, window, width)
+    """Dispatch: gather everywhere until Mosaic supports unaligned 1-D DMA
+    (see module docstring); `extract_frames(..., interpret=True)` remains
+    the validated kernel path."""
     return extract_frames_reference(x, starts, window, width)

