@@ -41,6 +41,7 @@ FRAME_DT = 2 * HOP / SAMPLE_RATE  # encoder stride-2 → 20 ms per frame
 @dataclass(frozen=True)
 class WhisperConfig:
     n_mels: int = 80
+    dtype: object = jnp.bfloat16
     n_audio_ctx: int = 1500  # 30 s windows
     n_text_ctx: int = 448
     dim: int = 384
@@ -73,9 +74,9 @@ class _MHA(nn.Module):
     def __call__(self, q_in, kv_in, return_weights: bool = False):
         c = self.cfg
         hd = c.dim // c.heads
-        q = nn.DenseGeneral((c.heads, hd), name="q", dtype=jnp.bfloat16)(q_in)
-        k = nn.DenseGeneral((c.heads, hd), name="k", use_bias=False, dtype=jnp.bfloat16)(kv_in)
-        v = nn.DenseGeneral((c.heads, hd), name="v", dtype=jnp.bfloat16)(kv_in)
+        q = nn.DenseGeneral((c.heads, hd), name="q", dtype=c.dtype)(q_in)
+        k = nn.DenseGeneral((c.heads, hd), name="k", use_bias=False, dtype=c.dtype)(kv_in)
+        v = nn.DenseGeneral((c.heads, hd), name="v", dtype=c.dtype)(kv_in)
         att = jnp.einsum("...qhd,...khd->...hqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
         if self.causal:
             L, S = q_in.shape[-2], kv_in.shape[-2]
@@ -83,7 +84,7 @@ class _MHA(nn.Module):
             att = jnp.where(mask, att, jnp.finfo(att.dtype).min)
         w = jax.nn.softmax(att.astype(jnp.float32), axis=-1)
         out = jnp.einsum("...hqk,...khd->...qhd", w.astype(q.dtype), v)
-        out = nn.DenseGeneral(c.dim, axis=(-2, -1), name="out", dtype=jnp.bfloat16)(out)
+        out = nn.DenseGeneral(c.dim, axis=(-2, -1), name="out", dtype=c.dtype)(out)
         return (out, w) if return_weights else (out, None)
 
 
@@ -94,19 +95,18 @@ class _Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, enc=None, collect_cross: bool = False):
-        h, _ = _MHA(self.cfg, causal=self.causal, name="attn")(
-            nn.LayerNorm(dtype=jnp.float32)(x), nn.LayerNorm(dtype=jnp.float32)(x)
-        )
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln_attn")(x)
+        h, _ = _MHA(self.cfg, causal=self.causal, name="attn")(h, h)
         x = x + h
         cross_w = None
         if self.cross:
-            hn = nn.LayerNorm(dtype=jnp.float32)(x)
+            hn = nn.LayerNorm(dtype=jnp.float32, name="ln_cross")(x)
             h, cross_w = _MHA(self.cfg, name="cross")(hn, enc, return_weights=collect_cross)
             x = x + h
-        hn = nn.LayerNorm(dtype=jnp.float32)(x)
-        h = nn.Dense(self.cfg.dim * 4, dtype=jnp.bfloat16)(hn)
-        h = jax.nn.gelu(h)
-        x = x + nn.Dense(self.cfg.dim, dtype=jnp.bfloat16)(h)
+        hn = nn.LayerNorm(dtype=jnp.float32, name="ln_ffn")(x)
+        h = nn.Dense(self.cfg.dim * 4, dtype=self.cfg.dtype, name="fc1")(hn)
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + nn.Dense(self.cfg.dim, dtype=self.cfg.dtype, name="fc2")(h)
         return x, cross_w
 
 
@@ -116,10 +116,12 @@ class WhisperEncoder(nn.Module):
     @nn.compact
     def __call__(self, mel):  # mel: [T, n_mels]
         c = self.cfg
-        x = nn.Conv(c.dim, (3,), padding="SAME", dtype=jnp.bfloat16, name="conv1")(mel)
-        x = jax.nn.gelu(x)
-        x = nn.Conv(c.dim, (3,), strides=(2,), padding="SAME", dtype=jnp.bfloat16, name="conv2")(x)
-        x = jax.nn.gelu(x)
+        # explicit (1,1) padding = torch Conv1d(padding=1): keeps ported
+        # checkpoints sample-aligned (SAME pads (0,1) at stride 2)
+        x = nn.Conv(c.dim, (3,), padding=((1, 1),), dtype=c.dtype, name="conv1")(mel)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Conv(c.dim, (3,), strides=(2,), padding=((1, 1),), dtype=c.dtype, name="conv2")(x)
+        x = jax.nn.gelu(x, approximate=False)
         T = x.shape[-2]
         x = x + jnp.asarray(sinusoids(c.n_audio_ctx, c.dim))[:T]
         for i in range(c.enc_layers):
@@ -133,9 +135,9 @@ class WhisperDecoder(nn.Module):
     @nn.compact
     def __call__(self, tokens, enc, collect_cross: bool = False):
         c = self.cfg
-        emb = nn.Embed(c.vocab_size, c.dim, name="tok_emb", dtype=jnp.bfloat16)
+        emb = nn.Embed(c.vocab_size, c.dim, name="tok_emb", dtype=c.dtype)
         pos = self.param("pos_emb", nn.initializers.normal(0.01), (c.n_text_ctx, c.dim), jnp.float32)
-        x = emb(tokens) + pos[: tokens.shape[-1]].astype(jnp.bfloat16)
+        x = emb(tokens) + pos[: tokens.shape[-1]].astype(c.dtype)
         cross_ws = []
         for i in range(c.dec_layers):
             x, w = _Block(c, cross=True, causal=True, name=f"block_{i}")(

@@ -63,15 +63,16 @@ class LLMConfig:
 
 
 def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
-    """x: [..., L, H, D]; positions: [..., L]."""
+    """Rotary embedding, half-split (GPT-NeoX/Qwen2) convention so ported
+    HF checkpoints match bit-for-bit. x: [..., L, H, D]; positions: [..., L]."""
     d = x.shape[-1]
     freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
     ang = positions[..., :, None].astype(jnp.float32)[..., None, :] * freqs  # [..., L, 1, D/2]
     cos, sin = jnp.cos(ang), jnp.sin(ang)
-    x1, x2 = x[..., 0::2], x[..., 1::2]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
     y1 = x1 * cos - x2 * sin
     y2 = x2 * cos + x1 * sin
-    return jnp.stack([y1, y2], axis=-1).reshape(x.shape).astype(x.dtype)
+    return jnp.concatenate([y1, y2], axis=-1).astype(x.dtype)
 
 
 class RMSNorm(nn.Module):
@@ -91,9 +92,10 @@ class Attention(nn.Module):
     def __call__(self, x, positions, mask, cache=None):
         c = self.cfg
         hd = c.head_dim
-        q = LoRADense(c.heads * hd, c.lora_rank, c.lora_alpha, dtype=c.dtype, name="q")(x)
-        k = LoRADense(c.kv_heads * hd, c.lora_rank, c.lora_alpha, dtype=c.dtype, name="k")(x)
-        v = LoRADense(c.kv_heads * hd, c.lora_rank, c.lora_alpha, dtype=c.dtype, name="v")(x)
+        # q/k/v carry biases (Qwen2 convention); o does not
+        q = LoRADense(c.heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, name="q")(x)
+        k = LoRADense(c.kv_heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, name="k")(x)
+        v = LoRADense(c.kv_heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, name="v")(x)
         B, L = x.shape[0], x.shape[1]
         q = q.reshape(B, L, c.heads, hd)
         k = k.reshape(B, L, c.kv_heads, hd)

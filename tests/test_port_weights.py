@@ -1,0 +1,129 @@
+"""Architecture-parity tests: HF torch checkpoints → flax trees.
+
+Builds random-initialised HF models *from config* (offline) and asserts
+logit agreement with the ported parameters — pinning RoPE convention,
+GQA layout, biases, LayerNorm placement and conv padding to the published
+geometry so real Qwen2.5 / Whisper checkpoints load correctly.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+class TestQwen2Port:
+    def test_logit_parity(self):
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+
+        from prosody_control_french_tts_tpu.models.llm import DecoderLM
+        from prosody_control_french_tts_tpu.models.port_weights import (
+            llm_config_from_hf,
+            qwen2_to_flax,
+        )
+
+        hf_cfg = Qwen2Config(
+            vocab_size=128,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=64,
+            rope_theta=10000.0,
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        hf_model = Qwen2ForCausalLM(hf_cfg).eval()
+
+        cfg = llm_config_from_hf(hf_cfg)
+        params = qwen2_to_flax(hf_model.state_dict(), cfg)
+        model = DecoderLM(cfg)
+
+        ids = np.random.default_rng(0).integers(0, 128, size=(2, 12))
+        with torch.no_grad():
+            ref = hf_model(torch.tensor(ids)).logits.numpy()
+        ours = np.asarray(model.apply(params, jnp.asarray(ids, jnp.int32)))
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+    def test_tied_embeddings(self):
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+
+        from prosody_control_french_tts_tpu.models.llm import DecoderLM
+        from prosody_control_french_tts_tpu.models.port_weights import (
+            llm_config_from_hf,
+            qwen2_to_flax,
+        )
+
+        hf_cfg = Qwen2Config(
+            vocab_size=96, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+            tie_word_embeddings=True,
+        )
+        torch.manual_seed(1)
+        hf_model = Qwen2ForCausalLM(hf_cfg).eval()
+        cfg = llm_config_from_hf(hf_cfg)
+        sd = {k: v for k, v in hf_model.state_dict().items() if k != "lm_head.weight"}
+        params = qwen2_to_flax(sd, cfg)
+        ids = np.arange(8)[None, :]
+        with torch.no_grad():
+            ref = hf_model(torch.tensor(ids)).logits.numpy()
+        ours = np.asarray(DecoderLM(cfg).apply(params, jnp.asarray(ids, jnp.int32)))
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+
+class TestWhisperPort:
+    def test_logit_parity(self):
+        from transformers import WhisperConfig as HFWhisperConfig
+        from transformers import WhisperForConditionalGeneration
+
+        from prosody_control_french_tts_tpu.align.whisper_jax import (
+            WhisperConfig,
+            WhisperModel,
+        )
+        from prosody_control_french_tts_tpu.models.port_weights import whisper_to_flax
+
+        hf_cfg = HFWhisperConfig(
+            vocab_size=120,
+            num_mel_bins=80,
+            d_model=64,
+            encoder_layers=2,
+            decoder_layers=2,
+            encoder_attention_heads=4,
+            decoder_attention_heads=4,
+            encoder_ffn_dim=256,
+            decoder_ffn_dim=256,
+            max_source_positions=100,
+            max_target_positions=50,
+            pad_token_id=0,
+            bos_token_id=1,
+            eos_token_id=2,
+            decoder_start_token_id=1,
+            suppress_tokens=None,
+            begin_suppress_tokens=None,
+        )
+        torch.manual_seed(0)
+        hf_model = WhisperForConditionalGeneration(hf_cfg).eval()
+
+        import jax.numpy as jnp_
+
+        cfg = WhisperConfig(
+            n_mels=80, n_audio_ctx=100, n_text_ctx=50, dim=64, heads=4,
+            enc_layers=2, dec_layers=2, vocab_size=120, dtype=jnp_.float32,
+        )
+        model = WhisperModel(cfg)
+        params = whisper_to_flax(hf_model.state_dict(), cfg)
+
+        rng = np.random.default_rng(0)
+        mel = rng.normal(size=(1, 200, 80)).astype(np.float32)  # 200 frames → 100 enc positions
+        toks = np.array([[5, 9, 17, 3]])
+        with torch.no_grad():
+            ref = hf_model(
+                input_features=torch.tensor(mel).transpose(1, 2),  # HF: [B, mels, T]
+                decoder_input_ids=torch.tensor(toks),
+            ).logits.numpy()
+        logits, _ = model.apply(params, jnp.asarray(mel), jnp.asarray(toks, jnp.int32))
+        np.testing.assert_allclose(np.asarray(logits), ref, rtol=3e-3, atol=3e-3)
