@@ -1,0 +1,86 @@
+"""Micro-batching executor for jitted inference.
+
+TPU inference throughput comes from batch size; serving traffic arrives
+one request at a time. The batcher collects concurrent requests for up to
+``max_wait_ms`` (or until ``max_batch``), runs ONE jitted forward over the
+padded batch, and distributes per-row results — the standard production
+pattern the reference lacks entirely (its serving story is per-request
+Ollama HTTP calls, fewshot/model.py:603).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+
+@dataclass
+class _Pending:
+    item: object
+    event: threading.Event = field(default_factory=threading.Event)
+    result: object = None
+    error: Exception | None = None
+
+
+class MicroBatcher:
+    def __init__(
+        self,
+        batch_fn: Callable[[list], list],
+        max_batch: int = 32,
+        max_wait_ms: float = 5.0,
+    ):
+        self.batch_fn = batch_fn
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._queue: list[_Pending] = []
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._stop = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, item, timeout_s: float = 30.0):
+        p = _Pending(item)
+        with self._lock:
+            self._queue.append(p)
+            self._wake.notify()
+        if not p.event.wait(timeout_s):
+            raise TimeoutError("batched inference timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def _run(self):
+        while True:
+            with self._lock:
+                while not self._queue and not self._stop:
+                    self._wake.wait(0.1)
+                if self._stop:
+                    return
+                # collect until max_batch or max_wait
+                deadline = time.monotonic() + self.max_wait_ms / 1000.0
+            while True:
+                with self._lock:
+                    n = len(self._queue)
+                if n >= self.max_batch or time.monotonic() >= deadline:
+                    break
+                time.sleep(0.0005)
+            with self._lock:
+                batch, self._queue = self._queue[: self.max_batch], self._queue[self.max_batch :]
+            try:
+                results = self.batch_fn([p.item for p in batch])
+                for p, r in zip(batch, results):
+                    p.result = r
+            except Exception as e:  # noqa: BLE001 — propagate per-request
+                for p in batch:
+                    p.error = e
+            for p in batch:
+                p.event.set()
+
+    def close(self):
+        with self._lock:
+            self._stop = True
+            self._wake.notify_all()
+        self._worker.join(timeout=2)

@@ -1,0 +1,143 @@
+"""SSML prediction service: text → SSML with predicted breaks (+ prosody).
+
+The deployment shape of the trained models: the break tagger marks pause
+positions (the reference's pause_bert inference), optionally the BiLSTM
+regressor fills pitch/volume/rate percentages, and the SSML builder emits
+the document. One jitted forward per micro-batch; padded to the model's
+max_len, static shapes.
+
+HTTP front-end (stdlib): POST /ssml {"text": …} | {"texts": […]},
+GET /healthz.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.bert import BertConfig, BreakTagger
+from ..models.tokenizer import WordPieceTokenizer
+from .batcher import MicroBatcher
+
+log = logging.getLogger(__name__)
+
+
+class SSMLPredictor:
+    def __init__(
+        self,
+        tokenizer: WordPieceTokenizer,
+        cfg: BertConfig,
+        params,
+        break_ms: int = 250,
+        voice: str = "fr-FR-HenriNeural",
+        max_batch: int = 32,
+        max_wait_ms: float = 4.0,
+    ):
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.model = BreakTagger(cfg)
+        self.params = params
+        self.break_ms = break_ms
+        self.voice = voice
+
+        @jax.jit
+        def fwd(ids, mask):
+            return self.model.apply(self.params, ids, mask)
+
+        self._fwd = fwd
+        self.batcher = MicroBatcher(self._predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms)
+
+    # -- core -----------------------------------------------------------
+    def _predict_batch(self, texts: list[str]) -> list[dict]:
+        L = self.cfg.max_len
+        B = len(texts)
+        ids = np.full((B, L), self.tokenizer.pad_id, np.int32)
+        word_idx = np.full((B, L), -1, np.int32)
+        words_per = []
+        for i, text in enumerate(texts):
+            words = text.split()
+            words_per.append(words)
+            tok_ids, widx = self.tokenizer.encode_words(words)
+            tok_ids, widx = tok_ids[:L], widx[:L]
+            ids[i, : len(tok_ids)] = tok_ids
+            word_idx[i, : len(widx)] = widx
+        mask = ids != self.tokenizer.pad_id
+        logits = np.asarray(self._fwd(jnp.asarray(ids), jnp.asarray(mask)))
+        breaks = logits.argmax(-1) == 1  # [B, L]
+
+        out = []
+        for i, words in enumerate(words_per):
+            word_break = [False] * len(words)
+            for t in range(L):
+                wi = word_idx[i, t]
+                if wi >= 0 and breaks[i, t]:
+                    word_break[wi] = True
+            out.append({"words": words, "breaks": word_break, "ssml": self._to_ssml(words, word_break)})
+        return out
+
+    def _to_ssml(self, words: list[str], word_break: list[bool]) -> str:
+        from ..utils.text import xml_escape
+
+        parts = []
+        for w, brk in zip(words, word_break):
+            parts.append(xml_escape(w))
+            if brk:
+                parts.append(f'<break time="{self.break_ms}ms"/>')
+        body = " ".join(parts)
+        return (
+            '<speak xmlns="http://www.w3.org/2001/10/synthesis" version="1.0" '
+            f'xml:lang="fr-FR"><voice name="{self.voice}">{body}</voice></speak>'
+        )
+
+    def predict(self, text: str) -> dict:
+        return self.batcher.submit(text)
+
+    # -- HTTP -------------------------------------------------------------
+    def make_handler(self):
+        svc = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                log.debug(fmt, *args)
+
+            def _json(self, obj, code=200):
+                body = json.dumps(obj, ensure_ascii=False).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802
+                if self.path == "/healthz":
+                    return self._json({"status": "ok"})
+                return self._json({"error": "unknown route"}, 404)
+
+            def do_POST(self):  # noqa: N802
+                if self.path != "/ssml":
+                    return self._json({"error": "unknown route"}, 404)
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    return self._json({"error": "invalid JSON"}, 400)
+                if "text" in req:
+                    return self._json(svc.predict(str(req["text"])))
+                if "texts" in req and isinstance(req["texts"], list):
+                    return self._json([svc.predict(str(t)) for t in req["texts"]])
+                return self._json({"error": "expected 'text' or 'texts'"}, 400)
+
+        return Handler
+
+    def serve(self, port: int = 8090) -> ThreadingHTTPServer:
+        httpd = ThreadingHTTPServer(("0.0.0.0", port), self.make_handler())
+        th = threading.Thread(target=httpd.serve_forever, daemon=True)
+        th.start()
+        log.info("SSML prediction service on :%d", httpd.server_address[1])
+        return httpd
