@@ -124,6 +124,49 @@ def main(argv: list[str] | None = None):
         n = build_natural_corpus(args.data_dir, args.out_dir)
         print(f"{n} pairs")
         return 0
+    if cmd == "eval":
+        import argparse
+
+        from .core.config import load_config
+        from .eval.evaluate_voice import evaluate_all
+
+        ap = argparse.ArgumentParser(prog="eval")
+        ap.add_argument("--config", default="config.yaml")
+        args = ap.parse_args(rest)
+        cfg = load_config(args.config)
+        summary = evaluate_all(cfg.out_path, cfg.data_path, cfg.out_path / "evaluation.json")
+        import json as _json
+
+        print(_json.dumps(summary, indent=2))
+        return 0
+    if cmd in ("train-break", "train-bilstm", "fewshot", "cascade"):
+        import argparse
+
+        from .models import experiment
+
+        ap = argparse.ArgumentParser(prog=cmd)
+        ap.add_argument("--bdd", required=True, help="path to bdd.json")
+        ap.add_argument("--out", default="Out/experiments")
+        ap.add_argument("--runs", type=int, default=10)
+        ap.add_argument("--epochs", type=int, default=10)
+        ap.add_argument("--tiny", action="store_true")
+        ap.add_argument("--fewshot-config")
+        args = ap.parse_args(rest)
+        if cmd == "train-break":
+            rep = experiment.run_break_experiment(args.bdd, args.out, runs=args.runs, epochs=args.epochs, tiny=args.tiny)
+        elif cmd == "train-bilstm":
+            rep = experiment.run_bilstm_experiment(args.bdd, args.out, epochs=args.epochs)
+        elif cmd == "fewshot":
+            from .models.fewshot import ExperimentConfig
+
+            fcfg = ExperimentConfig.from_yaml(args.fewshot_config) if args.fewshot_config else None
+            rep = experiment.run_fewshot_experiment(args.bdd, args.out, config=fcfg)
+        else:
+            rep = experiment.run_cascade_experiment(args.bdd, args.out, epochs=args.epochs, tiny=True)
+        import json as _json
+
+        print(_json.dumps(rep, indent=2, default=str)[:2000])
+        return 0
     if cmd == "bench":
         import runpy
         from pathlib import Path
