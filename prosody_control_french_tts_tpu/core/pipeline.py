@@ -274,6 +274,11 @@ class AudioPipeline:
             self.raw_audio_dir,
             self.cfg.prosody,
         )
+        self.emit_measure_csvs(result)
+
+    def emit_measure_csvs(self, result):
+        """Render a MeasureResult into the three BDD CSVs (the batched
+        multi-voice runner injects precomputed results here)."""
         self.last_measure = result
         voice = self.cfg.azure_voice_name
         factor = self.cfg.prosody.inter_syntagme_pause_factor

@@ -206,17 +206,36 @@ def _ms_to_samp(ms: float, rate: int) -> int:
     return int(ms * rate / 1000.0)
 
 
-def measure_voice(
+@dataclass
+class PreparedVoice:
+    """Host-side arrays for one voice, ready for the device program."""
+
+    names: list
+    raw_seqs: list
+    synts_per_seg: list
+    nat: np.ndarray
+    nat_len: np.ndarray
+    rate: int
+    raw_ok: np.ndarray
+    raw_len: np.ndarray
+    raw_for_device: np.ndarray
+    raw_len_dev: np.ndarray
+    win_nat: np.ndarray
+    win_raw: np.ndarray
+    win_raw_dev: np.ndarray
+    mask: np.ndarray
+    raw_slice_empty: np.ndarray
+
+
+def prepare_voice(
     seg_files: list[Path],
     textgrid_dir: Path,
     raw_audio_dir: Path,
     settings: ProsodySettings,
-    pitch_params: PitchParams | None = None,
     clean_word=None,
-) -> MeasureResult:
-    """The full measure stage for one voice (Code/audioPipeline.py:261-602
-    numerics; SSML emission happens in the pipeline layer)."""
-    pp = pitch_params or PitchParams()
+) -> PreparedVoice:
+    """Everything before the device call: TextGrid parsing, syntagme
+    construction, padded corpus loading, window/fallback bookkeeping."""
     if clean_word is None:
         clean_word = fr_pos.remove_spurious_commas
 
@@ -279,22 +298,52 @@ def measure_voice(
                 raw_len_dev[i] = nat_len[i]
                 win_raw_dev[i] = win_nat[i]
 
-    p_syn, p_seg, l_nat_syn, l_nat_seg, l_raw_syn, l_raw_seg = _measure_device(
-        jnp.asarray(nat),
-        jnp.asarray(nat_len),
-        jnp.asarray(raw_for_device),
-        jnp.asarray(raw_len_dev),
-        jnp.asarray(win_nat),
-        jnp.asarray(win_raw_dev),
-        jnp.asarray(mask),
-        rate=float(rate),
-        T=int(nat.shape[1]),
-        T2=int(T2),
+    return PreparedVoice(
+        names=names,
+        raw_seqs=raw_seqs,
+        synts_per_seg=synts_per_seg,
+        nat=nat,
+        nat_len=nat_len,
+        rate=rate,
+        raw_ok=raw_ok,
+        raw_len=raw_len,
+        raw_for_device=raw_for_device,
+        raw_len_dev=raw_len_dev,
+        win_nat=win_nat,
+        win_raw=win_raw,
+        win_raw_dev=win_raw_dev,
+        mask=mask,
+        raw_slice_empty=raw_slice_empty,
+    )
+
+
+def run_measure_device(prep: PreparedVoice, pp: PitchParams):
+    out = _measure_device(
+        jnp.asarray(prep.nat),
+        jnp.asarray(prep.nat_len),
+        jnp.asarray(prep.raw_for_device),
+        jnp.asarray(prep.raw_len_dev),
+        jnp.asarray(prep.win_nat),
+        jnp.asarray(prep.win_raw_dev),
+        jnp.asarray(prep.mask),
+        rate=float(prep.rate),
+        T=int(prep.nat.shape[1]),
+        T2=int(prep.raw_for_device.shape[1]),
         pp=pp,
     )
-    p_syn, p_seg = np.asarray(p_syn), np.asarray(p_seg)
-    l_nat_syn, l_nat_seg = np.asarray(l_nat_syn), np.asarray(l_nat_seg)
-    l_raw_syn, l_raw_seg = np.asarray(l_raw_syn), np.asarray(l_raw_seg)
+    return tuple(np.asarray(o) for o in out)
+
+
+def postprocess_voice(prep: PreparedVoice, outputs, settings: ProsodySettings) -> MeasureResult:
+    """Segment stats, baselines, adjustments, smoothing — all host/flat-jnp
+    math downstream of the device outputs."""
+    p_syn, p_seg, l_nat_syn, l_nat_seg, l_raw_syn, l_raw_seg = outputs
+    names = prep.names
+    raw_seqs = prep.raw_seqs
+    synts_per_seg = prep.synts_per_seg
+    nat_len, raw_len, raw_ok, rate = prep.nat_len, prep.raw_len, prep.raw_ok, prep.rate
+    win_nat, win_raw, win_raw_dev = prep.win_nat, prep.win_raw, prep.win_raw_dev
+    raw_slice_empty = prep.raw_slice_empty
 
     # --- segment stats + baselines (Code/audioPipeline.py:363-424) -------
     seg_stats: list[SegmentStat] = []
@@ -388,3 +437,87 @@ def measure_voice(
         for k, (i, j, syn) in enumerate(meta)
     ]
     return MeasureResult(rows=rows, seg_stats=seg_stats, baselines=baselines)
+
+
+def measure_voice(
+    seg_files: list[Path],
+    textgrid_dir: Path,
+    raw_audio_dir: Path,
+    settings: ProsodySettings,
+    pitch_params: PitchParams | None = None,
+    clean_word=None,
+) -> MeasureResult:
+    """The full measure stage for one voice (Code/audioPipeline.py:261-602
+    numerics; SSML emission happens in the pipeline layer)."""
+    pp = pitch_params or PitchParams()
+    prep = prepare_voice(seg_files, textgrid_dir, raw_audio_dir, settings, clean_word)
+    outputs = run_measure_device(prep, pp)
+    return postprocess_voice(prep, outputs, settings)
+
+
+def measure_voices_batched(
+    preps: dict[str, PreparedVoice],
+    settings: ProsodySettings,
+    pitch_params: PitchParams | None = None,
+) -> dict[str, MeasureResult]:
+    """All voices through ONE device program: segments concatenate on the
+    batch axis (padded to the group maxima); baselines and smoothing stay
+    voice-local, so results are identical to per-voice runs (tested).
+
+    This is the TPU-native replacement for the reference's process pool
+    (config.yaml:57-58 — one Whisper model + pipeline per OS process)."""
+    pp = pitch_params or PitchParams()
+    if not preps:
+        return {}
+    items = list(preps.items())
+    if len(items) == 1:
+        name, prep = items[0]
+        return {name: postprocess_voice(prep, run_measure_device(prep, pp), settings)}
+
+    rate = items[0][1].rate
+    T = max(p.nat.shape[1] for _, p in items)
+    T2 = max(p.raw_for_device.shape[1] for _, p in items)
+    N = max(p.win_nat.shape[1] for _, p in items)
+
+    def padT(a, t):
+        out = np.zeros((a.shape[0], t), a.dtype)
+        out[:, : a.shape[1]] = a
+        return out
+
+    def padN(a, n):
+        shape = (a.shape[0], n) + a.shape[2:]
+        out = np.zeros(shape, a.dtype)
+        out[:, : a.shape[1]] = a
+        return out
+
+    nat = np.concatenate([padT(p.nat, T) for _, p in items])
+    nat_len = np.concatenate([p.nat_len for _, p in items])
+    raw = np.concatenate([padT(p.raw_for_device, T2) for _, p in items])
+    raw_len = np.concatenate([p.raw_len_dev for _, p in items])
+    win_nat = np.concatenate([padN(p.win_nat, N) for _, p in items])
+    win_raw = np.concatenate([padN(p.win_raw_dev, N) for _, p in items])
+    mask = np.concatenate([padN(p.mask, N) for _, p in items])
+
+    out = _measure_device(
+        jnp.asarray(nat), jnp.asarray(nat_len), jnp.asarray(raw), jnp.asarray(raw_len),
+        jnp.asarray(win_nat), jnp.asarray(win_raw), jnp.asarray(mask),
+        rate=float(rate), T=T, T2=T2, pp=pp,
+    )
+    out = tuple(np.asarray(o) for o in out)
+
+    results = {}
+    offset = 0
+    for name, prep in items:
+        S = prep.nat.shape[0]
+        Nv = prep.win_nat.shape[1]
+        sl = (
+            out[0][offset : offset + S, :Nv],  # p_syn
+            out[1][offset : offset + S],       # p_seg
+            out[2][offset : offset + S, :Nv],  # l_nat_syn
+            out[3][offset : offset + S],       # l_nat_seg
+            out[4][offset : offset + S, :Nv],  # l_raw_syn
+            out[5][offset : offset + S],       # l_raw_seg
+        )
+        results[name] = postprocess_voice(prep, sl, settings)
+        offset += S
+    return results
