@@ -87,6 +87,17 @@ def make_handler(svc: VizService):
 
         def do_GET(self):  # noqa: N802 (stdlib API)
             parts = [p for p in self.path.split("?")[0].split("/") if p]
+            if not parts:  # the static front-end (reference: static/index.html)
+                page = Path(__file__).parent / "static" / "index.html"
+                body = page.read_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if parts == ["kinds"]:
+                return self._json(sorted(svc.dirs.keys()))
             if parts == ["segments"]:
                 return self._json(svc.segments())
             if len(parts) == 3 and parts[0] == "audio":
