@@ -11,7 +11,6 @@ aligner from its own corpus without any downloaded checkpoint.
 
 from __future__ import annotations
 
-import json
 from dataclasses import dataclass
 from pathlib import Path
 

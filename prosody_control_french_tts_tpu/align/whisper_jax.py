@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.dtw import dtw_path
 from ..ops.stft import log_mel
 from ..utils.textgridio import TextGrid
 from ..utils.wavio import Audio

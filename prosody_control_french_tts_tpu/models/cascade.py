@@ -26,7 +26,7 @@ import numpy as np
 
 from .llm import DecoderLM, LLMConfig, greedy_generate
 from .tokenizer import WordPieceTokenizer
-from .training import TrainState, init_train, make_train_step
+from .training import init_train, make_train_step
 
 log = logging.getLogger(__name__)
 

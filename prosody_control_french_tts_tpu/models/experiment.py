@@ -29,7 +29,7 @@ def _tokenizer_for(bdd: dict, vocab_size: int = 4000) -> WordPieceTokenizer:
 
 def run_break_experiment(bdd_path: str | Path, out_dir: str | Path, runs: int = 10, epochs: int = 10, tiny: bool = False) -> dict:
     from .bert import BertConfig
-    from .break_trainer import bootstrap_runs, sentences_per_second, evaluate_tagger
+    from .break_trainer import bootstrap_runs, sentences_per_second
     from .datasets import build_break_dataset, load_bdd
     from .bert import BreakTagger
 
