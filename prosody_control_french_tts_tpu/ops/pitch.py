@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache as _lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -114,6 +114,18 @@ def _geometry(num_samples: int, sr: float, p: PitchParams):
 def _hanning(n: int) -> np.ndarray:
     j = np.arange(1, n + 1, dtype=np.float64)
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * j / (n + 1))).astype(np.float32)
+
+
+@_lru_cache(maxsize=8)
+def _cos_lag_matrix(nfft: int, n_lags: int) -> np.ndarray:
+    """irfft restricted to the first n_lags outputs, as a [nfft/2+1, n_lags]
+    cosine matrix: ac[τ] = Σ_k w_k·P[k]·cos(2πkτ/nfft)/nfft (w = 2 except
+    DC/Nyquist)."""
+    k = np.arange(nfft // 2 + 1, dtype=np.float64)
+    tau = np.arange(n_lags, dtype=np.float64)
+    C = np.cos(2.0 * np.pi * np.outer(k, tau) / nfft) / nfft
+    C[1:-1] *= 2.0
+    return C.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -289,11 +301,17 @@ def _pitch_frames(x: jnp.ndarray, sr: float, num_samples: int, p: PitchParams, l
     local_peak = jnp.max(jnp.abs(frames) * lp_mask[None, :], axis=-1)
     intensity = jnp.minimum(local_peak / global_peak, 1.0)
 
-    # normalised autocorrelation via zero-padded FFT
+    # normalised autocorrelation: power spectrum via rfft, then the
+    # inverse transform restricted to the needed lags as one cosine
+    # matmul — the MXU beats a full irfft when only max_lag+2 of the
+    # nfft outputs are used (measured 0.063 s -> 0.039 s at the bench
+    # shape, max deviation 3e-4 of the ac peak)
     nfft = g["nfft"]
-    spec = jnp.fft.rfft(frames, n=nfft, axis=-1)
-    ac = jnp.fft.irfft(jnp.abs(spec) ** 2, n=nfft, axis=-1)[:, : g["max_lag"] + 2]
-    ac_w = jnp.fft.irfft(jnp.abs(jnp.fft.rfft(win, n=nfft)) ** 2, n=nfft)[: g["max_lag"] + 2]
+    L_out = g["max_lag"] + 2
+    spec_pow = jnp.abs(jnp.fft.rfft(frames, n=nfft, axis=-1)) ** 2
+    cosmat = jnp.asarray(_cos_lag_matrix(nfft, L_out))
+    ac = spec_pow @ cosmat
+    ac_w = (jnp.abs(jnp.fft.rfft(win, n=nfft)) ** 2) @ cosmat
     r = (ac / (ac[:, :1] + 1e-30)) / (ac_w[None, :] / (ac_w[0] + 1e-30))  # [F, L+2]
 
     # voiced candidates: local maxima of r in (min_lag, max_lag)

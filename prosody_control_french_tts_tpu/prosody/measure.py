@@ -43,12 +43,14 @@ from .adjust import ProsodySettings, pitch_adjust_pct, rate_adjust_pct, segment_
 
 
 def bucket_length(n: int, minimum: int = 1 << 15) -> int:
-    """Next power of two ≥ n (≥ minimum): bounds the number of distinct
-    compiled shapes for a corpus of ragged segments."""
+    """Next (2^k − 8192) ≥ n (≥ minimum): bounds the number of distinct
+    compiled shapes for a corpus of ragged segments, and leaves exactly the
+    K-weighting filter's 8192-sample decay pad so the loudness FFT lands on
+    a power of two instead of the next one up (halves that FFT)."""
     m = minimum
-    while m < n:
+    while m - 8192 < n:
         m *= 2
-    return m
+    return m - 8192
 
 
 _SEG_NUM = re.compile(r"segment_ph(\d+)")
