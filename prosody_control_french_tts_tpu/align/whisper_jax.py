@@ -296,8 +296,15 @@ class WhisperAligner:
         audio = audio.to_mono()
         if audio.rate != SAMPLE_RATE:
             audio = resample(audio, SAMPLE_RATE)
-        x = jnp.asarray(np.asarray(audio.samples, np.float32))
-        return log_mel(x, SAMPLE_RATE, n_fft=400, hop_length=HOP, n_mels=self.cfg.n_mels)
+        x = np.asarray(audio.samples, np.float32)
+        # whisper convention: zero-pad the window to exactly n_audio_ctx·2
+        # mel frames (the sinusoidal table's length after the stride-2 conv)
+        max_mel = self.cfg.n_audio_ctx * 2
+        want = max_mel * HOP
+        if x.shape[0] < want:
+            x = np.pad(x, (0, want - x.shape[0]))
+        mel = log_mel(jnp.asarray(x), SAMPLE_RATE, n_fft=400, hop_length=HOP, n_mels=self.cfg.n_mels)
+        return mel[:max_mel]
 
     def align(self, audio: Audio, transcript: str | None = None) -> TextGrid:
         audio = audio.to_mono()
@@ -309,12 +316,38 @@ class WhisperAligner:
             )
         if self.params is None or self.tokenizer is None:
             raise ValueError("WhisperAligner needs weights + tokenizer")
+        # Whisper's receptive field is 30 s (n_audio_ctx frames); longer
+        # audio is processed in windows with word budgets apportioned by
+        # duration (the reference's stack delegates this to
+        # whisper-timestamped's internal chunking)
+        window_s = self.cfg.n_audio_ctx * FRAME_DT
+        if audio.duration_seconds > window_s:
+            words_all = (transcript.split() if transcript is not None else None)
+            out_words: list[AlignedWord] = []
+            n_chunks = int(np.ceil(audio.duration_seconds / window_s))
+            wi = 0
+            for c in range(n_chunks):
+                t0 = c * window_s
+                sub = audio.slice_ms(t0 * 1000, min((c + 1) * window_s, audio.duration_seconds) * 1000)
+                if words_all is not None:
+                    share = int(round(len(words_all) * sub.duration_seconds / audio.duration_seconds))
+                    chunk_words = words_all[wi : wi + max(share, 0)] if c < n_chunks - 1 else words_all[wi:]
+                    wi += len(chunk_words)
+                    sub_tr = " ".join(chunk_words)
+                    if not sub_tr:
+                        continue
+                else:
+                    sub_tr = None
+                tg = self.align(sub, sub_tr)
+                for iv in tg.tiers[0]:
+                    if iv.mark.strip():
+                        out_words.append(AlignedWord(iv.min_time + t0, iv.max_time + t0, iv.mark))
+            return words_to_textgrid(out_words, audio.duration_seconds)
         text = transcript if transcript is not None else self.transcribe(audio)
         token_ids = self.tokenizer.encode(text)[1:-1]
         tokens = [self.tokenizer.decode([t]) for t in token_ids]
         mel = self.features(audio)
         ids = jnp.asarray([token_ids], jnp.int32)
-        (_, cross), enc = None, None
         enc = self.model.apply(self.params, mel[None], method=WhisperModel.encode)
         _, cross = self.model.apply(
             self.params, ids, enc, True, method=WhisperModel.decode

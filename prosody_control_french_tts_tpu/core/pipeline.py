@@ -144,7 +144,15 @@ class AudioPipeline:
 
         denoised = self.voice_dir / "brute" / "segment_denoised.wav"
         cmd = self.cfg.raw.get("denoise_command")
-        if cmd:
+        if self.cfg.raw.get("denoise") == "spectral":
+            from ..audio.denoise import denoise as spectral_denoise
+
+            try:
+                write_wav(denoised, spectral_denoise(read_wav(brute)))
+            except Exception as e:  # noqa: BLE001 — demucs fallback contract
+                log.warning("spectral denoiser failed (%s); copying original", e)
+                shutil.copy(brute, denoised)
+        elif cmd:
             import subprocess
 
             try:

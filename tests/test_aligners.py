@@ -190,3 +190,60 @@ class TestSynchronizedPipeline:
         assert "<prosody rate=" in v2
         adj = pipe.adjustments["segment_ph1"]["rate_adjustment"]
         assert -50.0 <= adj <= 100.0
+
+
+class TestDenoise:
+    def test_spectral_gate_improves_snr(self):
+        from prosody_control_french_tts_tpu.audio.denoise import denoise
+        from prosody_control_french_tts_tpu.utils.wavio import Audio
+
+        sr = 22050
+        rng = np.random.default_rng(0)
+        t = np.arange(sr * 2) / sr
+        clean = 0.5 * np.sin(2 * np.pi * 300 * t) * (np.sin(2 * np.pi * 1.5 * t) > 0)
+        noise = 0.03 * rng.normal(size=clean.size)
+        noisy = clean + noise
+        out = denoise(Audio(noisy, sr))
+        assert out.samples.shape[0] == noisy.shape[0]
+
+        def snr(y):
+            sig = y[np.abs(clean) > 1e-3]
+            res = y[np.abs(clean) <= 1e-3]
+            return 10 * np.log10(np.mean(sig**2) / max(np.mean(res**2), 1e-12))
+
+        assert snr(out.samples) > snr(noisy) + 3.0  # ≥3 dB cleaner gaps
+
+    def test_silence_stays_silent(self):
+        from prosody_control_french_tts_tpu.audio.denoise import denoise
+        from prosody_control_french_tts_tpu.utils.wavio import Audio
+
+        out = denoise(Audio(np.zeros(22050), 22050))
+        assert np.abs(out.samples).max() < 1e-6
+
+
+class TestWhisperChunking:
+    def test_long_audio_windows(self):
+        """>30 s audio aligns in windows with times offset back (tiny test
+        config: window = n_audio_ctx·20 ms = 4 s)."""
+        import jax
+
+        cfg = WhisperConfig.test()  # n_audio_ctx=200 → 4 s window
+        al = WhisperAligner(cfg)
+        from prosody_control_french_tts_tpu.models.tokenizer import WordPieceTokenizer
+
+        tok = WordPieceTokenizer.train(["bonjour le monde oui non merci bien sur"], vocab_size=120, min_freq=1)
+        al.tokenizer = tok
+        model_params = al.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 40, cfg.n_mels)), jnp.asarray([[1, 2]], jnp.int32)
+        )
+        al.params = model_params
+        sr = 16000
+        rng = np.random.default_rng(1)
+        x = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr * 10) / sr) + 0.02 * rng.normal(size=sr * 10))
+        words = "bonjour le monde oui non merci bien sur".split() * 3
+        tg = al.align(Audio(x, sr), " ".join(words))
+        marks = [iv for iv in tg.tiers[0] if iv.mark.strip()]
+        assert len(marks) >= len(words) * 0.7  # most words placed
+        # words exist beyond the first window
+        assert any(iv.min_time > 4.0 for iv in marks)
+        assert max(iv.max_time for iv in marks) <= 10.01
