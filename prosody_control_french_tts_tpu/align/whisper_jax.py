@@ -57,6 +57,18 @@ class WhisperConfig:
     def test(cls, vocab_size: int = 256) -> "WhisperConfig":
         return cls(dim=64, heads=2, enc_layers=1, dec_layers=1, vocab_size=vocab_size, n_audio_ctx=200, n_text_ctx=64)
 
+    @classmethod
+    def base(cls, vocab_size: int = 51865) -> "WhisperConfig":
+        return cls(dim=512, heads=8, enc_layers=6, dec_layers=6, vocab_size=vocab_size)
+
+    @classmethod
+    def small(cls, vocab_size: int = 51865) -> "WhisperConfig":
+        return cls(dim=768, heads=12, enc_layers=12, dec_layers=12, vocab_size=vocab_size)
+
+    @classmethod
+    def medium(cls, vocab_size: int = 51865) -> "WhisperConfig":
+        return cls(dim=1024, heads=16, enc_layers=24, dec_layers=24, vocab_size=vocab_size)
+
 
 def sinusoids(length: int, channels: int) -> np.ndarray:
     log_timescale = np.log(10000.0) / (channels // 2 - 1)

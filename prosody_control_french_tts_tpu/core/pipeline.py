@@ -533,7 +533,15 @@ def main(argv: list[str] | None = None):
     if not voices:
         print("Missing 'voice_names' in config.yaml", file=sys.stderr)
         sys.exit(1)
-    results = [run_pipeline_for_voice(v, cfg) for v in voices]
+    if cfg.multiprocessing and len(voices) > 1:
+        # the reference's process pool maps to the cross-voice batched
+        # measure (one device program for every voice's segments)
+        from .batch_runner import run_all_voices
+
+        cfg.voice_names = list(voices)
+        results = run_all_voices(cfg)
+    else:
+        results = [run_pipeline_for_voice(v, cfg) for v in voices]
     failed = [n for ok, n in results if not ok]
     if failed:
         print(f"Some pipelines failed: {', '.join(failed)}", file=sys.stderr)

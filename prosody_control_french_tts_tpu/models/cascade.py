@@ -78,8 +78,12 @@ def train_stage(
     seed: int = 0,
     x_key: str = "x",
     y_key: str = "y",
+    ckpt_dir=None,
+    ckpt_keep: int = 2,
 ):
-    """Returns (model, params, losses)."""
+    """Returns (model, params, losses). With ``ckpt_dir``, saves an orbax
+    checkpoint per epoch (keep-last-``ckpt_keep``, the HF-Trainer
+    save_total_limit=2 contract, QwenB.py:218)."""
     cfg = cfg or LLMConfig(vocab_size=len(tokenizer), dim=128, layers=2, heads=4, kv_heads=2, ffn=256, max_len=256)
     batch = build_batches(pairs, tokenizer, task, cfg.max_len, x_key, y_key)
     model, tx, state = init_train(cfg, rng=jax.random.PRNGKey(seed), lr=lr, accum=accum)
@@ -88,7 +92,7 @@ def train_stage(
     losses = []
     rng = np.random.default_rng(seed)
     n = batch.ids.shape[0]
-    for _ in range(epochs):
+    for epoch in range(epochs):
         order = rng.permutation(n)
         for i in range(0, n, batch_size):
             b = order[i : i + batch_size]
@@ -96,6 +100,10 @@ def train_stage(
                 params, opt, jnp.asarray(batch.ids[b]), jnp.asarray(batch.loss_mask[b])
             )
             losses.append(float(loss))
+        if ckpt_dir is not None:
+            from ..core.checkpoint import save_train_state
+
+            save_train_state(ckpt_dir, epoch + 1, {"params": params}, keep=ckpt_keep)
     return model, params, losses
 
 

@@ -471,6 +471,19 @@ def measure_voices_batched(
     pp = pitch_params or PitchParams()
     if not preps:
         return {}
+    # The pitch frame grid is a function of the padded T (frames are centred
+    # over the padded buffer), so exact per-voice parity requires batching
+    # only voices that share the same nat bucket; the LUFS path is
+    # padding-invariant, so T2/N pad freely within a group.
+    groups: dict[int, dict] = {}
+    for name, prep in preps.items():
+        groups.setdefault(prep.nat.shape[1], {})[name] = prep
+    if len(groups) > 1:
+        out: dict[str, MeasureResult] = {}
+        for sub in groups.values():
+            out.update(measure_voices_batched(sub, settings, pp))
+        return out
+
     items = list(preps.items())
     if len(items) == 1:
         name, prep = items[0]

@@ -63,10 +63,13 @@ class TestNativeAudio:
         zc = int(((y[:-1] < 0) & (y[1:] >= 0)).sum())
         assert abs(zc - 440) < 10
 
-    def test_window_rms_matches_ops(self, native, rng):
+    def test_window_rms_matches_ops(self, native):
         from prosody_control_french_tts_tpu.ops.energy import _window_rms_sq
 
-        x = (rng.normal(size=22050) * 0.1).astype(np.float32)
+        # local generator: the shared session rng makes this data depend on
+        # test order, and the float32-vs-float64 prefix-sum comparison is
+        # tolerance-sensitive
+        x = (np.random.default_rng(42).normal(size=22050) * 0.1).astype(np.float32)
         wr = native.window_rms(x, 22050, 100)
         ours = np.floor(np.sqrt(np.asarray(_window_rms_sq(jnp.asarray(x), 22050, 100))) * 32768)
         assert wr.shape == ours.shape
