@@ -1,0 +1,42 @@
+"""Regression goldens over the reference's bundled corpus.
+
+tests/goldens/corpus_golden.json pins the DSP kernels' outputs (median F0,
+voiced fraction, LUFS, dBFS, duration) for every bundled segment at the
+values measured when the kernels were validated against their oracles.
+Any future refactor of the pitch/loudness path must reproduce them —
+SURVEY.md §4's "golden-file tests on the bundled corpus" requirement.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+GOLDEN = Path(__file__).parent / "goldens" / "corpus_golden.json"
+
+
+@pytest.mark.skipif(not GOLDEN.exists(), reason="golden file missing")
+class TestCorpusGolden:
+    def test_kernels_reproduce_goldens(self, corpus_wavs):
+        from prosody_control_french_tts_tpu.ops.energy import dbfs
+        from prosody_control_french_tts_tpu.ops.loudness import integrated_loudness
+        from prosody_control_french_tts_tpu.ops.pitch import PitchParams, praat_pitch
+        from prosody_control_french_tts_tpu.utils.wavio import read_wav
+
+        golden = json.loads(GOLDEN.read_text())
+        # spot-check three segments (full sweep is the generation script;
+        # three keeps suite time sane while still catching kernel drift)
+        for w in [corpus_wavs[0], corpus_wavs[3], corpus_wavs[-1]]:
+            g = golden[w.stem]
+            a = read_wav(w).to_mono()
+            x = np.asarray(a.samples, np.float32)
+            assert abs(a.duration_seconds - g["duration_s"]) < 1e-3
+            assert abs(dbfs(x) - g["dbfs"]) < 0.01
+            assert abs(integrated_loudness(x, a.rate) - g["lufs"]) < 0.01
+            tr = praat_pitch(x, a.rate, PitchParams())
+            f0 = np.asarray(tr.f0)
+            v = f0[f0 > 0]
+            med = float(np.median(v)) if v.size else 0.0
+            assert abs(med - g["median_f0"]) / max(g["median_f0"], 1) < 1e-3
+            assert abs(float((f0 > 0).mean()) - g["voiced_frac"]) < 0.01
