@@ -168,7 +168,7 @@ def _load_padded(paths_or_arrays, rate_expect=None):
                     except (FileNotFoundError, ValueError, OSError):
                         sizes.append(1)
                 T = bucket_length(max(sizes))
-                res = load_batch(items, stride=T)
+                res = load_batch(items, stride=T, target_rate=int(rate_expect or 0))
                 if res is not None:
                     batch, lens, rate = res
                     ok = lens > 0
@@ -190,7 +190,14 @@ def _load_padded(paths_or_arrays, rate_expect=None):
                 sigs.append(np.zeros(1, np.float32))
                 ok.append(False)
                 continue
-            rate = rate or a.rate
+            if rate is None:
+                rate = a.rate
+            elif a.rate != rate:
+                # e.g. a TTS backend configured for a different output
+                # format than the natural corpus
+                from ..utils.wavio import resample as _resample
+
+                a = _resample(a, rate)
             sigs.append(np.asarray(a.samples, np.float32))
         else:
             sigs.append(np.asarray(item, np.float32))

@@ -284,3 +284,40 @@ class TestPreprocessAndAlign:
         assert len(tgs) == 2
         tg = read_textgrid(tgs[0])
         assert sum(1 for iv in tg.tiers[0] if iv.mark.strip()) == 3
+
+
+class TestRateMismatch:
+    def test_raw_at_different_rate(self, tmp_path):
+        """Raw synthesis at 24 kHz against a 44.1 kHz natural corpus must
+        be resampled at ingest (Azure output formats are configurable)."""
+        from prosody_control_french_tts_tpu.prosody.measure import measure_voice
+        from prosody_control_french_tts_tpu.utils.wavio import resample, Audio
+
+        gen = FakeBackend(seed=2)
+        vdir = tmp_path / "v"
+        (vdir / "audio").mkdir(parents=True)
+        (vdir / "raw").mkdir()
+        tgd = vdir / "tg"
+        tgd.mkdir()
+        words = ["bonjour", "le", "monde."]
+        chunks, times, t = [], [], 0.0
+        for w in words:
+            a = gen._voice(w, 0, 0, 0)
+            times.append((t, t + len(a) / SR, w))
+            t += len(a) / SR
+            chunks.append(a)
+        x = np.concatenate(chunks)
+        wavio.write_wav(vdir / "audio" / "segment_ph1.wav", x, SR)
+        write_textgrid(word_tier_with_silences(times, len(x) / SR), tgd / "segment_ph1.TextGrid")
+        low = resample(Audio(x, SR), 24000)
+        wavio.write_wav(vdir / "raw" / "segment_ph1.wav", low)
+
+        from prosody_control_french_tts_tpu.prosody.adjust import ProsodySettings
+
+        res = measure_voice(
+            sorted((vdir / "audio").glob("*.wav")), tgd, vdir / "raw", ProsodySettings()
+        )
+        text_rows = [r for r in res.rows if r.syntagme]
+        assert text_rows
+        # identical content → near-zero volume adjustment despite the rate gap
+        assert all(abs(r.raw_volume) < 3.0 for r in text_rows), text_rows
