@@ -106,3 +106,53 @@ def frames_op(x, starts, window, width: int):
     (see module docstring); `extract_frames(..., interpret=True)` remains
     the validated kernel path."""
     return extract_frames_reference(x, starts, window, width)
+
+
+# ---------------------------------------------------------------------------
+# chunked cumsum kernel — compiles and runs on real v5e hardware
+# ---------------------------------------------------------------------------
+
+CUMSUM_CHUNK = 1024
+_CUMSUM_ROWS = 8
+
+
+def _chunk_cumsum_kernel(x_ref, out_ref):
+    """Exclusive within-chunk prefix sums of an [8, 1024] tile via log₂
+    shift-adds (pltpu.roll with static shifts — Mosaic-clean, unlike the
+    dynamic rotates the frame kernel needs)."""
+    x = x_ref[...]
+    acc = x
+    shift = 1
+    while shift < CUMSUM_CHUNK:
+        rolled = pltpu.roll(acc, shift, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (_CUMSUM_ROWS, CUMSUM_CHUNK), 1)
+        acc = acc + jnp.where(col >= shift, rolled, 0.0)
+        shift *= 2
+    out_ref[...] = acc - x
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def chunk_cumsum(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Exclusive per-1024-chunk prefix sums of x [R, C] (R % 8 == 0,
+    C % 1024 == 0) — the inner stage of ops.cumsum.ChunkedCumsum as a
+    Pallas kernel. Hardware-validated on v5e; XLA's own cumsum currently
+    beats the shift-add formulation (its scan lowering makes one pass
+    where this makes log₂(1024) = 10), so the jnp path stays the default —
+    this kernel documents the working aligned-tile pattern for Pallas on
+    this toolchain and serves as the scaffold for a fused
+    square+cumsum+gate loudness kernel."""
+    R, C = x.shape
+    return pl.pallas_call(
+        _chunk_cumsum_kernel,
+        grid_spec=pl.GridSpec(
+            grid=(R // _CUMSUM_ROWS, C // CUMSUM_CHUNK),
+            in_specs=[
+                pl.BlockSpec((_CUMSUM_ROWS, CUMSUM_CHUNK), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(
+                (_CUMSUM_ROWS, CUMSUM_CHUNK), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, C), jnp.float32),
+        interpret=interpret,
+    )(x.astype(jnp.float32))

@@ -90,3 +90,14 @@ class TestPallasFrames:
         ref = extract_frames_reference(x, starts, win, W)
         out = extract_frames(x, starts, win, W, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+class TestPallasCumsum:
+    def test_interpret_matches_numpy(self, rng):
+        from prosody_control_french_tts_tpu.ops.pallas_kernels import CUMSUM_CHUNK, chunk_cumsum
+
+        x = np.random.default_rng(3).normal(size=(16, 4 * CUMSUM_CHUNK)).astype(np.float32)
+        got = np.asarray(chunk_cumsum(jnp.asarray(x), interpret=True))
+        xr = x.reshape(16, 4, CUMSUM_CHUNK)
+        ref = (np.cumsum(xr, axis=-1) - xr).reshape(16, 4 * CUMSUM_CHUNK)
+        np.testing.assert_allclose(got, ref, atol=2e-3)
