@@ -39,13 +39,11 @@ def embed_sentences(
     if params is None:
         params = enc.init(jax.random.PRNGKey(0), jnp.asarray(ids[:1]), jnp.asarray(mask[:1]))
 
-    @jax.jit
-    def fwd(ids, mask):
-        return enc.apply(params, ids, mask)
+    fwd = jax.jit(lambda p, ids, mask: enc.apply(p, ids, mask))
 
     out = []
     for i in range(0, len(texts), batch):
-        out.append(np.asarray(fwd(jnp.asarray(ids[i : i + batch]), jnp.asarray(mask[i : i + batch]))))
+        out.append(np.asarray(fwd(params, jnp.asarray(ids[i : i + batch]), jnp.asarray(mask[i : i + batch]))))
     return np.concatenate(out, axis=0)
 
 

@@ -39,9 +39,7 @@ def evaluate_tagger(model, params, ds: BreakTagDataset, batch_size: int = 64) ->
     """Masked-token P/R/F1 on the BREAK class + label perplexity
     (pause_bert.py:212-239 reporting)."""
 
-    @jax.jit
-    def logits_fn(ids, mask):
-        return model.apply(params, ids, mask)
+    logits_fn = jax.jit(lambda p, ids, mask: model.apply(p, ids, mask))
 
     tp = fp = fn = correct = total = 0
     nll_sum = 0.0
@@ -49,7 +47,7 @@ def evaluate_tagger(model, params, ds: BreakTagDataset, batch_size: int = 64) ->
         ids = jnp.asarray(ds.ids[i : i + batch_size])
         mask = jnp.asarray(ds.mask[i : i + batch_size])
         labels = ds.labels[i : i + batch_size]
-        logits = np.asarray(logits_fn(ids, mask))
+        logits = np.asarray(logits_fn(params, ids, mask))
         logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
         valid = labels != IGNORE
         pred = logits.argmax(-1)
@@ -171,15 +169,13 @@ def sentences_per_second(model, params, ds: BreakTagDataset, batch_size: int = 2
     ids = jnp.asarray(np.resize(ds.ids, (batch_size, ds.ids.shape[1])))
     mask = jnp.asarray(np.resize(ds.mask, (batch_size, ds.mask.shape[1])))
 
-    @jax.jit
-    def fwd(ids, mask):
-        return model.apply(params, ids, mask)
+    fwd = jax.jit(lambda p, ids, mask: model.apply(p, ids, mask))
 
-    jax.block_until_ready(fwd(ids, mask))
+    float(np.asarray(fwd(params, ids, mask))[0, 0, 0])
     t0 = time.perf_counter()
     acc = 0.0
     for i in range(iters):
-        out = fwd(jnp.roll(ids, i, axis=0), mask)
+        out = fwd(params, jnp.roll(ids, i, axis=0), mask)
         acc += float(out[0, 0, 0])
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)

@@ -46,11 +46,9 @@ class SSMLPredictor:
         self.break_ms = break_ms
         self.voice = voice
 
-        @jax.jit
-        def fwd(ids, mask):
-            return self.model.apply(self.params, ids, mask)
-
-        self._fwd = fwd
+        # params as an argument (closing over them would inline ~all model
+        # weights as HLO constants — remote compilers reject such payloads)
+        self._fwd = jax.jit(lambda p, ids, mask: self.model.apply(p, ids, mask))
         self.batcher = MicroBatcher(self._predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
     # -- core -----------------------------------------------------------
@@ -68,7 +66,7 @@ class SSMLPredictor:
             ids[i, : len(tok_ids)] = tok_ids
             word_idx[i, : len(widx)] = widx
         mask = ids != self.tokenizer.pad_id
-        logits = np.asarray(self._fwd(jnp.asarray(ids), jnp.asarray(mask)))
+        logits = np.asarray(self._fwd(self.params, jnp.asarray(ids), jnp.asarray(mask)))
         breaks = logits.argmax(-1) == 1  # [B, L]
 
         out = []
