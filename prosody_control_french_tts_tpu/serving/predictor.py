@@ -38,7 +38,12 @@ class SSMLPredictor:
         voice: str = "fr-FR-HenriNeural",
         max_batch: int = 32,
         max_wait_ms: float = 4.0,
+        prosody: dict | None = None,
     ):
+        """``prosody`` (optional) enables pitch/rate/volume prediction:
+        {"bilstm_params": …, "encoder_params": …, "mu": [3], "sd": [3]}
+        — the BiLSTM regressor over SentenceEncoder embeddings with its
+        z-score calibration (models.bilstm)."""
         self.tokenizer = tokenizer
         self.cfg = cfg
         self.model = BreakTagger(cfg)
@@ -49,6 +54,17 @@ class SSMLPredictor:
         # params as an argument (closing over them would inline ~all model
         # weights as HLO constants — remote compilers reject such payloads)
         self._fwd = jax.jit(lambda p, ids, mask: self.model.apply(p, ids, mask))
+
+        self.prosody = prosody
+        if prosody is not None:
+            from ..models.bert import SentenceEncoder
+            from ..models.bilstm import BiLSTMConfig, BiLSTMProsody
+
+            self._enc = SentenceEncoder(cfg)
+            self._reg = BiLSTMProsody(BiLSTMConfig(embed_dim=cfg.hidden))
+            self._embed = jax.jit(lambda p, ids, mask: self._enc.apply(p, ids, mask))
+            self._regress = jax.jit(lambda p, e: self._reg.apply(p, e))
+
         self.batcher = MicroBatcher(self._predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
     # -- core -----------------------------------------------------------
@@ -69,6 +85,16 @@ class SSMLPredictor:
         logits = np.asarray(self._fwd(self.params, jnp.asarray(ids), jnp.asarray(mask)))
         breaks = logits.argmax(-1) == 1  # [B, L]
 
+        pros = None
+        if self.prosody is not None:
+            emb = np.asarray(
+                self._embed(self.prosody["encoder_params"], jnp.asarray(ids), jnp.asarray(mask))
+            )  # [B, hidden]
+            z = np.asarray(self._regress(self.prosody["bilstm_params"], jnp.asarray(emb[:, None, :])))
+            mu = np.asarray(self.prosody.get("mu", np.zeros(3)))
+            sd = np.asarray(self.prosody.get("sd", np.ones(3)))
+            pros = z * sd + mu  # [B, 3] → pitch, volume, rate percentages
+
         out = []
         for i, words in enumerate(words_per):
             word_break = [False] * len(words)
@@ -76,10 +102,22 @@ class SSMLPredictor:
                 wi = word_idx[i, t]
                 if wi >= 0 and breaks[i, t]:
                     word_break[wi] = True
-            out.append({"words": words, "breaks": word_break, "ssml": self._to_ssml(words, word_break)})
+            entry = {
+                "words": words,
+                "breaks": word_break,
+            }
+            p = tuple(pros[i]) if pros is not None else None
+            if p is not None:
+                entry["prosody"] = {
+                    "pitch": f"{p[0]:+.2f}%",
+                    "volume": f"{p[1]:+.2f}%",
+                    "rate": f"{p[2]:+.2f}%",
+                }
+            entry["ssml"] = self._to_ssml(words, word_break, p)
+            out.append(entry)
         return out
 
-    def _to_ssml(self, words: list[str], word_break: list[bool]) -> str:
+    def _to_ssml(self, words: list[str], word_break: list[bool], pros=None) -> str:
         from ..utils.text import xml_escape
 
         parts = []
@@ -88,6 +126,11 @@ class SSMLPredictor:
             if brk:
                 parts.append(f'<break time="{self.break_ms}ms"/>')
         body = " ".join(parts)
+        if pros is not None:
+            body = (
+                f'<prosody pitch="{pros[0]:+.2f}%" rate="{pros[2]:+.2f}%" '
+                f'volume="{pros[1]:+.2f}%">{body}</prosody>'
+            )
         return (
             '<speak xmlns="http://www.w3.org/2001/10/synthesis" version="1.0" '
             f'xml:lang="fr-FR"><voice name="{self.voice}">{body}</voice></speak>'

@@ -84,3 +84,34 @@ class TestPredictor:
             assert all(o["ssml"].startswith("<speak") for o in outs)
         finally:
             httpd.shutdown()
+
+
+class TestProsodyServing:
+    def test_prosody_values_in_ssml(self):
+        from prosody_control_french_tts_tpu.models.bert import SentenceEncoder
+        from prosody_control_french_tts_tpu.models.bilstm import BiLSTMConfig, BiLSTMProsody
+        from prosody_control_french_tts_tpu.models.tokenizer import WordPieceTokenizer
+
+        texts = ["bonjour le monde", "la voix parle"]
+        tok = WordPieceTokenizer.train(texts, vocab_size=150, min_freq=1)
+        cfg = BertConfig(vocab_size=len(tok), hidden=32, layers=1, heads=2, ffn=64, max_len=16)
+        tagger = BreakTagger(cfg)
+        params = tagger.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16), jnp.int32), jnp.ones((1, 16), bool)
+        )
+        enc = SentenceEncoder(cfg)
+        enc_params = enc.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 16), jnp.int32), jnp.ones((1, 16), bool)
+        )
+        reg = BiLSTMProsody(BiLSTMConfig(embed_dim=cfg.hidden))
+        reg_params = reg.init(jax.random.PRNGKey(2), jnp.zeros((1, 1, cfg.hidden)))
+        pred = SSMLPredictor(
+            tok, cfg, params, max_wait_ms=1,
+            prosody={"bilstm_params": reg_params, "encoder_params": enc_params,
+                     "mu": np.zeros(3), "sd": np.ones(3)},
+        )
+        out = pred.predict("bonjour le monde")
+        assert "prosody" in out
+        assert "<prosody pitch=" in out["ssml"]
+        import re as _re
+        assert _re.search(r'pitch="[+-]\d+\.\d{2}%"', out["ssml"])
