@@ -247,3 +247,57 @@ class TestDTW:
         b = np.array([0.0, 2.0])
         # D: path 0-0,1-?,2-1 → cost |0-0|+min(...)=1
         assert dtw_distance(a, b) == 1.0
+
+
+class TestSilenceFuzz:
+    """Property-based parity: our scan vs a literal transcription of
+    pydub.silence.detect_silence/split_on_silence on random signals."""
+
+    @staticmethod
+    def _oracle_detect(x, rate, min_len, thresh_db):
+        length_ms = int(len(x) * 1000 // rate)
+        if length_ms < min_len:
+            return []
+        thresh_lin = (10.0 ** (thresh_db / 20.0)) * 32768.0
+        starts = []
+        for i in range(0, length_ms - min_len + 1):
+            lo = int(i * rate / 1000.0)
+            hi = min(int((i + min_len) * rate / 1000.0), len(x))
+            seg = x[lo:hi]
+            rms = np.floor(np.sqrt(np.mean((seg.astype(np.float64) * 32768.0) ** 2))) if len(seg) else 0.0
+            if rms <= thresh_lin:
+                starts.append(i)
+        if not starts:
+            return []
+        ranges = []
+        prev = starts[0]
+        cur = prev
+        for s in starts[1:]:
+            if s != prev + 1 and s > prev + min_len:
+                ranges.append([cur, prev + min_len])
+                cur = s
+            prev = s
+        ranges.append([cur, prev + min_len])
+        return ranges
+
+    def test_fuzz_against_oracle(self):
+        from prosody_control_french_tts_tpu.ops.energy import detect_silence
+
+        rng = np.random.default_rng(99)
+        rate = 8000
+        for case in range(12):
+            # random alternation of speech and near-silence
+            parts = []
+            for _ in range(rng.integers(2, 6)):
+                parts.append(rng.normal(size=rng.integers(1500, 9000)) * 0.2)
+                parts.append(rng.normal(size=rng.integers(1500, 9000)) * 10 ** rng.uniform(-5, -3.5))
+            x = np.concatenate(parts).astype(np.float32)
+            min_len = int(rng.integers(300, 900))
+            thresh = float(rng.uniform(-60, -35))
+            got = detect_silence(x, rate, min_len, thresh)
+            want = self._oracle_detect(x, rate, min_len, thresh)
+            # allow ±1 ms boundary wobble from float32 vs float64 RMS at
+            # exact-threshold windows
+            assert len(got) == len(want), (case, got, want)
+            for g, w in zip(got, want):
+                assert abs(g[0] - w[0]) <= 1 and abs(g[1] - w[1]) <= 1, (case, g, w)
