@@ -167,3 +167,49 @@ class TestConvert:
         (tmp_path / "x.mp3").write_bytes(b"\xff\xfb")
         with pytest.raises(RuntimeError, match="ffmpeg"):
             convert.convert_to_wav(tmp_path / "x.mp3", tmp_path / "x.wav")
+
+
+class TestDistributed:
+    def test_hybrid_mesh_single_slice(self):
+        from prosody_control_french_tts_tpu.parallel.distributed import (
+            hybrid_mesh,
+            host_local_batch_slice,
+            initialize,
+        )
+
+        assert initialize() is False  # single-process: no-op
+        mesh = hybrid_mesh(model=2)
+        assert mesh.axis_names == ("dcn", "data", "model")
+        assert mesh.shape["model"] == 2
+        assert mesh.shape["dcn"] * mesh.shape["data"] * mesh.shape["model"] == 8
+        sl = host_local_batch_slice(16)
+        assert sl == slice(0, 16)
+
+    def test_train_step_on_hybrid_mesh(self):
+        """The LoRA train step runs with batch sharded over (dcn, data)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from prosody_control_french_tts_tpu.models.llm import LLMConfig
+        from prosody_control_french_tts_tpu.models.training import init_train, make_train_step
+        from prosody_control_french_tts_tpu.parallel.distributed import hybrid_mesh
+        from prosody_control_french_tts_tpu.parallel.sharding import llm_param_spec
+
+        mesh = hybrid_mesh(model=2)
+        cfg = LLMConfig(vocab_size=128, dim=32, layers=1, heads=4, kv_heads=2, ffn=64, max_len=32, lora_rank=2)
+        model, tx, state = init_train(cfg, lr=1e-3)
+        step = make_train_step(model, tx, donate=False)
+        pspec = llm_param_spec(state.params)
+        params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state.params, pspec
+        )
+        opt = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())) if hasattr(x, "shape") else x,
+            state.opt_state,
+        )
+        ids = jnp.asarray(np.random.default_rng(0).integers(1, 128, (8, 16)), jnp.int32)
+        lm = jnp.ones((8, 16), jnp.float32)
+        batch_sh = NamedSharding(mesh, P(("dcn", "data")))
+        with mesh:
+            p2, o2, loss = step(params, opt, jax.device_put(ids, batch_sh), jax.device_put(lm, batch_sh))
+        assert np.isfinite(float(loss))
