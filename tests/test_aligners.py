@@ -247,3 +247,59 @@ class TestWhisperChunking:
         # words exist beyond the first window
         assert any(iv.min_time > 4.0 for iv in marks)
         assert max(iv.max_time for iv in marks) <= 10.01
+
+
+class TestCTCInPipeline:
+    def test_aligner_switch_end_to_end(self, tmp_path):
+        """Train the tiny CTC aligner on the fixture words, save weights,
+        and run the pipeline's Align+Transcribe step with aligner: ctc —
+        the reference's aligner-dispatch contract
+        (pipeline_class_legacy.py:716-758) behind our config switch."""
+        import jax.numpy as jnp
+        from prosody_control_french_tts_tpu.align.ctc_aligner import CTCAligner, save_params
+        from prosody_control_french_tts_tpu.core.config import PipelineConfig
+        from prosody_control_french_tts_tpu.core.pipeline import AudioPipeline
+        from prosody_control_french_tts_tpu.tts.fake import FakeBackend
+        from prosody_control_french_tts_tpu.utils import wavio
+        from prosody_control_french_tts_tpu.utils.textgridio import read_textgrid
+
+        # one segment of two tone-words (the trainable toy domain)
+        x = _tone_word_audio([300.0, 1200.0])
+        sr = SR
+        al = CTCAligner(dim=48, layers=1)
+        al.init_params()
+        init, step = al.make_train_step(lr=3e-3)
+        opt = init(al.params)
+        mel = al.features(Audio(x, sr))
+        labels, _ = al.vocab.word_spans(["aa", "bb"])
+        params = al.params
+        for _ in range(60):
+            params, opt, loss = step(
+                params, opt, mel, jnp.int32(mel.shape[0] // 2),
+                jnp.asarray(labels, jnp.int32), jnp.int32(len(labels)),
+            )
+        weights = tmp_path / "ctc.npz"
+        save_params(params, weights)
+
+        vdir = tmp_path / "Data" / "voice" / "cv"
+        (vdir / "audio").mkdir(parents=True)
+        (vdir / "transcription_raw").mkdir(parents=True)
+        wavio.write_wav(vdir / "audio" / "segment_ph1.wav", x, sr)
+        (vdir / "transcription_raw" / "segment_ph1.txt").write_text("aa bb")
+        cfg = PipelineConfig.from_dict(
+            {
+                "data_dir": "Data/voice",
+                "out_dir": "Out",
+                "voice_names": ["cv"],
+                "tts_backend": "fake",
+                "aligner": "ctc",
+                "aligner_options": {"weights_path": str(weights), "dim": 48, "layers": 1},
+            },
+            tmp_path,
+        )
+        pipe = AudioPipeline("cv", cfg, tts=FakeBackend(seed=1))
+        pipe.align_and_transcribe()
+        tg = read_textgrid(vdir / "WhisperTS_textgrid_files" / "segment_ph1.TextGrid")
+        words = [iv.mark for iv in tg.tiers[0] if iv.mark.strip()]
+        assert words == ["aa", "bb"]
+        assert (vdir / "transcription" / "segment_ph1.txt").read_text().strip() == "aa bb"
