@@ -31,11 +31,33 @@ log = logging.getLogger(__name__)
 
 
 class VizService:
-    def __init__(self, dirs: dict[str, Path], textgrid_dirs: dict[str, Path] | None = None):
+    def __init__(
+        self,
+        dirs: dict[str, Path],
+        textgrid_dirs: dict[str, Path] | None = None,
+        ab_log_path: Path | None = None,
+    ):
         self.dirs = {k: Path(v) for k, v in dirs.items()}
         self.textgrid_dirs = {k: Path(v) for k, v in (textgrid_dirs or {}).items()}
         self.cache: dict[tuple[str, str], dict] = {}
         self.lock = threading.Lock()
+        self.ab_log_path = Path(ab_log_path) if ab_log_path else None
+
+    def log_ab_response(self, record: dict) -> None:
+        """Append one listener judgement (segment, presented order, choice,
+        timestamp) — the perceptual-study artifact of the AB protocol
+        (config.yaml:64-77)."""
+        import time as _time
+
+        record = {"t": _time.time(), **record}
+        line = json.dumps(record, ensure_ascii=False) + "\n"
+        with self.lock:
+            if self.ab_log_path:
+                self.ab_log_path.parent.mkdir(parents=True, exist_ok=True)
+                with open(self.ab_log_path, "a", encoding="utf-8") as f:
+                    f.write(line)
+            else:
+                log.info("ab_response %s", line.strip())
 
     def segments(self) -> list[str]:
         stems = set()
@@ -85,8 +107,29 @@ def make_handler(svc: VizService):
             self.end_headers()
             self.wfile.write(body)
 
+        def do_POST(self):  # noqa: N802 — AB-test response logging
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            if parts == ["ab_response"]:
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    rec = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    return self._json({"error": "invalid JSON"}, 400)
+                svc.log_ab_response(rec)
+                return self._json({"status": "ok"})
+            return self._json({"error": "unknown route"}, 404)
+
         def do_GET(self):  # noqa: N802 (stdlib API)
             parts = [p for p in self.path.split("?")[0].split("/") if p]
+            if parts == ["abtest"]:
+                page = Path(__file__).parent / "static" / "abtest.html"
+                body = page.read_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if not parts:  # the static front-end (reference: static/index.html)
                 page = Path(__file__).parent / "static" / "index.html"
                 body = page.read_bytes()
@@ -138,6 +181,7 @@ def main(argv=None):
     ap.add_argument("--textgrids")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--no-preload", action="store_true")
+    ap.add_argument("--ab-log", help="JSONL path for AB-test responses")
     args = ap.parse_args(argv)
     dirs = {
         k: v
@@ -150,7 +194,8 @@ def main(argv=None):
         if v
     }
     tg = {"natural": args.textgrids} if args.textgrids else None
-    serve(VizService(dirs, tg), port=args.port, preload=not args.no_preload)
+    svc = VizService(dirs, tg, ab_log_path=args.ab_log)
+    serve(svc, port=args.port, preload=not args.no_preload)
 
 
 if __name__ == "__main__":

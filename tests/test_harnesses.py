@@ -285,3 +285,39 @@ class TestCorpusCompare:
         np.testing.assert_array_equal(fa["pitch_mean"], fa2["pitch_mean"])
         pngs = compare_corpora(fa, fb, tmp_path / "plots")
         assert len(pngs) == 4 and all(p.exists() for p in pngs)
+
+
+class TestABListening:
+    def test_ab_page_and_response_logging(self, tmp_path):
+        import threading
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        from prosody_control_french_tts_tpu.viz.server import VizService, make_handler
+        from prosody_control_french_tts_tpu.utils import wavio
+
+        for kind in ("improved", "raw"):
+            d = tmp_path / kind
+            d.mkdir()
+            wavio.write_wav(d / "0-pair.wav", np.zeros(4000), 8000)
+        log_path = tmp_path / "ab.jsonl"
+        svc = VizService({"improved": tmp_path / "improved", "raw": tmp_path / "raw"},
+                         ab_log_path=log_path)
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            html = urllib.request.urlopen(f"http://127.0.0.1:{port}/abtest").read().decode()
+            assert "AB listening test" in html
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/ab_response",
+                data=json.dumps({"segment": "0-pair", "order": ["raw", "improved"],
+                                 "choice": 1, "chosen_kind": "improved"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            out = json.loads(urllib.request.urlopen(req).read())
+            assert out["status"] == "ok"
+            rec = json.loads(log_path.read_text().splitlines()[0])
+            assert rec["chosen_kind"] == "improved" and "t" in rec
+        finally:
+            httpd.shutdown()
