@@ -127,21 +127,35 @@ def _measure_device(
     def lufs_for(x, x_len, wins, max_t):
         y = k_weight(x, rate, num_samples=max_t)
         rmax = RangeMax.build(x)
-        peaks = rmax.query(wins[..., 0], wins[..., 1])
+        # append the full-file window (the short-syntagme fallback target)
+        # as one extra column so ONE windowed_loudness call — and thus one
+        # chunked-cumsum build over the signal — serves both
+        fw = jnp.stack([jnp.zeros_like(x_len), x_len], axis=-1)[:, None, :]
+        wins_ext = jnp.concatenate([wins, fw], axis=1)  # [S, N+1, 2]
+        peaks = rmax.query(wins_ext[..., 0], wins_ext[..., 1])
         peaks = jnp.where(peaks > 0, peaks, 1.0)  # reference `or 1.0`
         mb = max_blocks_for(max_t, rate)
-        lufs, valid = windowed_loudness(y, rate, wins[..., 0], wins[..., 1], peaks, max_blocks=mb)
-        # full-file loudness (the short-window fallback target)
-        fw = jnp.stack([jnp.zeros_like(x_len), x_len], axis=-1)[:, None, :]
-        fpeaks = rmax.query(fw[..., 0], fw[..., 1])
-        fpeaks = jnp.where(fpeaks > 0, fpeaks, 1.0)
-        flufs, fvalid = windowed_loudness(y, rate, fw[..., 0], fw[..., 1], fpeaks, max_blocks=mb)
-        flufs = jnp.where(fvalid, flufs, -70.0)[:, 0]
-        out = jnp.where(valid, lufs, flufs[:, None])
+        lufs_ext, valid_ext = windowed_loudness(
+            y, rate, wins_ext[..., 0], wins_ext[..., 1], peaks, max_blocks=mb
+        )
+        flufs = jnp.where(valid_ext[:, -1], lufs_ext[:, -1], -70.0)
+        out = jnp.where(valid_ext[:, :-1], lufs_ext[:, :-1], flufs[:, None])
         return out, flufs
 
-    l_nat_syn, l_nat_seg = lufs_for(nat, nat_len, win_nat, T)
-    l_raw_syn, l_raw_seg = lufs_for(raw, raw_len, win_raw, T2)
+    if T == T2:
+        # one batched pass over both corpora halves the FFT/cumsum launches
+        both_syn, both_seg = lufs_for(
+            jnp.concatenate([nat, raw], axis=0),
+            jnp.concatenate([nat_len, raw_len], axis=0),
+            jnp.concatenate([win_nat, win_raw], axis=0),
+            T,
+        )
+        S = nat.shape[0]
+        l_nat_syn, l_raw_syn = both_syn[:S], both_syn[S:]
+        l_nat_seg, l_raw_seg = both_seg[:S], both_seg[S:]
+    else:
+        l_nat_syn, l_nat_seg = lufs_for(nat, nat_len, win_nat, T)
+        l_raw_syn, l_raw_seg = lufs_for(raw, raw_len, win_raw, T2)
     return p_syn, p_seg, l_nat_syn, l_nat_seg, l_raw_syn, l_raw_seg
 
 
