@@ -24,3 +24,5 @@ from .loudness import (  # noqa: F401
 from .energy import dbfs, rms, detect_silence, split_on_silence_ranges  # noqa: F401
 from .stft import stft, spectrogram  # noqa: F401
 from .dtw import dtw_distance, dtw_path  # noqa: F401
+from .cumsum import ChunkedCumsum, chunked_cumsum_sq  # noqa: F401
+from .rangemax import RangeMax  # noqa: F401

@@ -7,6 +7,9 @@ Parity with the reference's two FastAPI apps
 - ``GET /audio/{kind}/{segment}``         wav bytes (kind: natural|synthetic
                                           or improved|raw for AB mode)
 - ``GET /plot_data/{kind}/{segment}``     waveform/spectrogram/F0/intervals
+- ``GET /``                               canvas viewer (static/index.html)
+- ``GET /abtest`` + ``POST /ab_response`` blind listening test + JSONL log
+- ``GET /kinds``                          available corpora
 - startup preloading into an in-memory cache on a worker pool
   (visualisation_abtest/app.py:132-151), here a ThreadPoolExecutor since
   the computation is one jitted device program, not Python-bound.
