@@ -9,6 +9,7 @@ Commands mirror the reference's entry points (README.md:118-143 usage):
   viz        plot-data HTTP viewer (visualisation apps)
   analyze    corpus statistics (analyze_dataset.py)
   corpus     natural-corpus assembly (create_natural_data.py)
+  train-ctc  bootstrap the CTC forced aligner from wav+txt pairs
   bench      the throughput benchmark
 """
 
@@ -166,6 +167,19 @@ def main(argv: list[str] | None = None):
         import json as _json
 
         print(_json.dumps(rep, indent=2, default=str)[:2000])
+        return 0
+    if cmd == "train-ctc":
+        import argparse
+
+        from .align.train_ctc import train_ctc_aligner
+
+        ap = argparse.ArgumentParser(prog="train-ctc")
+        ap.add_argument("--corpus", required=True, help="dir of wav+txt pairs")
+        ap.add_argument("--out", default="ctc_aligner.npz")
+        ap.add_argument("--epochs", type=int, default=20)
+        args = ap.parse_args(rest)
+        _, losses = train_ctc_aligner(args.corpus, args.out, epochs=args.epochs)
+        print(f"final loss {losses[-1]:.3f} -> {args.out}")
         return 0
     if cmd == "bench":
         import runpy

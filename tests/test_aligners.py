@@ -303,3 +303,26 @@ class TestCTCInPipeline:
         words = [iv.mark for iv in tg.tiers[0] if iv.mark.strip()]
         assert words == ["aa", "bb"]
         assert (vdir / "transcription" / "segment_ph1.txt").read_text().strip() == "aa bb"
+
+
+class TestTrainCTCDriver:
+    def test_recipe_end_to_end(self, tmp_path):
+        from prosody_control_french_tts_tpu.align.train_ctc import train_ctc_aligner
+        from prosody_control_french_tts_tpu.align.ctc_aligner import CTCAligner
+        from prosody_control_french_tts_tpu.utils import wavio
+
+        # tiny tone-word corpus: 'aa'→300 Hz, 'bb'→1200 Hz
+        for i in range(3):
+            x = _tone_word_audio([300.0, 1200.0])
+            wavio.write_wav(tmp_path / f"u{i}.wav", x, SR)
+            (tmp_path / f"u{i}.txt").write_text("aa bb")
+        al, losses = train_ctc_aligner(
+            tmp_path, tmp_path / "w.npz", epochs=20, lr=3e-3, dim=48, layers=1
+        )
+        assert losses[-1] < losses[0]
+        assert (tmp_path / "w.npz").exists()
+        # reload through the aligner_options path and align
+        al2 = CTCAligner(dim=48, layers=1, weights_path=tmp_path / "w.npz")
+        tg = al2.align(Audio(_tone_word_audio([300.0, 1200.0]), SR), "aa bb")
+        words = [iv.mark for iv in tg.tiers[0] if iv.mark.strip()]
+        assert words == ["aa", "bb"]
