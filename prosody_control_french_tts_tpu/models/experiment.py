@@ -96,8 +96,22 @@ def run_fewshot_experiment(
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     results = {}
-    for name, client in clients.items():
-        res, preds = fs.run_experiment(client, samples, few, cfg.parallel_requests)
+
+    def run_one(item):
+        name, client = item
+        res, _preds = fs.run_experiment(client, samples, few, cfg.parallel_requests)
+        return name, res
+
+    # concurrency across models (the reference fans out one OS process per
+    # model, fewshot/model.py:1145; network-bound clients thread cleanly)
+    if cfg.num_processes > 1 and len(clients) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cfg.num_processes) as ex:
+            finished = list(ex.map(run_one, clients.items()))
+    else:
+        finished = [run_one(it) for it in clients.items()]
+    for name, res in finished:
         results[name] = res.as_dict()
         (out_dir / f"result_{name}.json").write_text(
             json.dumps(results[name], indent=2), encoding="utf-8"

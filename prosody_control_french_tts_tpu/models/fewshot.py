@@ -230,6 +230,8 @@ class EvalResult:
     tags_per_sentence: float
     parse_failures: int
     n: int
+    gold_breaks: int = 0
+    pred_breaks: int = 0
 
     def as_dict(self) -> dict:
         return self.__dict__.copy()
@@ -267,6 +269,8 @@ def evaluate_predictions(samples: list[dict], predictions: list) -> EvalResult:
     prec = tp / (tp + fp) if tp + fp else 0.0
     rec = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    gold_breaks = tp + fn
+    pred_breaks = tp + fp
 
     mae, mse, r2 = {}, {}, {}
     for k in gold_vals:
@@ -291,6 +295,8 @@ def evaluate_predictions(samples: list[dict], predictions: list) -> EvalResult:
         tags_per_sentence=total_tags / max(total_sentences, 1),
         parse_failures=parse_failures,
         n=len(samples),
+        gold_breaks=gold_breaks,
+        pred_breaks=pred_breaks,
     )
 
 
