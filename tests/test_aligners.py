@@ -326,3 +326,67 @@ class TestTrainCTCDriver:
         tg = al2.align(Audio(_tone_word_audio([300.0, 1200.0]), SR), "aa bb")
         words = [iv.mark for iv in tg.tiers[0] if iv.mark.strip()]
         assert words == ["aa", "bb"]
+
+
+class TestG2P:
+    """French G2P + phoneme-target CTC (reference: enrichir_dictionnaire.py
+    — lexicon-first OOV enrichment, here with a hermetic rule engine)."""
+
+    def test_known_words(self):
+        from prosody_control_french_tts_tpu.align.g2p_fr import g2p_word
+
+        assert g2p_word("bonjour") == ["b", "ɔ̃", "ʒ", "u", "ʁ"]
+        assert g2p_word("eau") == ["o"]
+        assert g2p_word("nation") == ["n", "a", "s", "j", "ɔ̃"]
+        assert g2p_word("maison") == ["m", "ɛ", "z", "ɔ̃"]      # intervocalic s → z
+        assert g2p_word("famille") == ["f", "a", "m", "i", "j"]
+        assert g2p_word("guerre") == ["ɡ", "ɛ", "ʁ"]             # geminate collapsed
+        assert g2p_word("chat") == ["ʃ", "a"]                    # silent final t
+        assert g2p_word("deux") == ["d", "ø"]
+        assert g2p_word("") == []
+        assert g2p_word("xyz123") != []                          # total function
+
+    def test_lexicon_enrichment(self, tmp_path):
+        from prosody_control_french_tts_tpu.align.g2p_fr import (
+            enrich_lexicon_file,
+            load_lexicon,
+        )
+
+        tr = tmp_path / "transcription"
+        tr.mkdir()
+        (tr / "a.txt").write_text("Bonjour le monde.", encoding="utf-8")
+        (tr / "b.txt").write_text("Le monde est grand !", encoding="utf-8")
+        lex = tmp_path / "lexicon.txt"
+        lex.write_text("le l ə\n", encoding="utf-8")
+        added = enrich_lexicon_file(tr, lex)
+        out = load_lexicon(lex)
+        assert added == 4  # bonjour, monde, est, grand (le already present)
+        assert out["le"] == ["l", "ə"]           # existing entry untouched
+        assert out["monde"] == ["m", "ɔ̃", "d"]
+        assert enrich_lexicon_file(tr, lex) == 0  # idempotent
+
+    def test_phoneme_vocab_ctc_align(self):
+        """CTCAligner works with phoneme targets as a drop-in vocab."""
+        from prosody_control_french_tts_tpu.align.g2p_fr import PhonemeVocab
+
+        vocab = PhonemeVocab(lexicon={"aa": ["a"], "oo": ["o"]})
+        al = CTCAligner(dim=48, layers=1, vocab=vocab)
+        al.init_params()
+        init, step = al.make_train_step(lr=3e-3)
+        opt = init(al.params)
+
+        audio = Audio(_tone_word_audio([300.0, 1200.0]), SR)
+        mel = al.features(audio)
+        labels, spans = vocab.word_spans(["aa", "oo"])
+        assert labels == [vocab.encode("aa")[0], vocab.boundary, vocab.encode("oo")[0]]
+        labels_j = jnp.asarray(labels, jnp.int32)
+        params = al.params
+        for _ in range(60):
+            params, opt, loss = step(
+                params, opt, mel, jnp.int32(mel.shape[0] // 2), labels_j, jnp.int32(len(labels))
+            )
+        al.params = params
+        tg = al.align(audio, "aa oo")
+        words = [iv for iv in tg.tiers[0] if iv.mark.strip()]
+        assert [w.mark for w in words] == ["aa", "oo"]
+        assert words[0].min_time < 0.3 < words[1].max_time
