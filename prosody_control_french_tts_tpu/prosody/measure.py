@@ -483,9 +483,13 @@ def measure_voices_batched(
     settings: ProsodySettings,
     pitch_params: PitchParams | None = None,
 ) -> dict[str, MeasureResult]:
-    """All voices through ONE device program: segments concatenate on the
-    batch axis (padded to the group maxima); baselines and smoothing stay
-    voice-local, so results are identical to per-voice runs (tested).
+    """All voices of a length bucket through ONE device program: segments
+    concatenate on the batch axis (padded to the group maxima); baselines
+    and smoothing stay voice-local, so results are identical to per-voice
+    runs (tested). With several buckets, every bucket's program is
+    dispatched asynchronously BEFORE any result is pulled to the host —
+    per-group sync reads would serialize device round-trips and leave the
+    chip idle between buckets.
 
     This is the TPU-native replacement for the reference's process pool
     (config.yaml:57-58 — one Whisper model + pipeline per OS process)."""
@@ -499,16 +503,41 @@ def measure_voices_batched(
     groups: dict[int, dict] = {}
     for name, prep in preps.items():
         groups.setdefault(prep.nat.shape[1], {})[name] = prep
-    if len(groups) > 1:
-        out: dict[str, MeasureResult] = {}
-        for sub in groups.values():
-            out.update(measure_voices_batched(sub, settings, pp))
-        return out
 
-    items = list(preps.items())
+    dispatched = [_dispatch_group(list(sub.items()), pp) for sub in groups.values()]
+    results: dict[str, MeasureResult] = {}
+    for items, lazy in dispatched:
+        out = tuple(np.asarray(o) for o in lazy)  # drain (forces execution)
+        offset = 0
+        for name, prep in items:
+            S = prep.nat.shape[0]
+            Nv = prep.win_nat.shape[1]
+            sl = (
+                out[0][offset : offset + S, :Nv],  # p_syn
+                out[1][offset : offset + S],       # p_seg
+                out[2][offset : offset + S, :Nv],  # l_nat_syn
+                out[3][offset : offset + S],       # l_nat_seg
+                out[4][offset : offset + S, :Nv],  # l_raw_syn
+                out[5][offset : offset + S],       # l_raw_seg
+            )
+            results[name] = postprocess_voice(prep, sl, settings)
+            offset += S
+    return results
+
+
+def _dispatch_group(items, pp: PitchParams):
+    """Launch one bucket group's device program without reading results:
+    returns (items, lazy device outputs)."""
     if len(items) == 1:
-        name, prep = items[0]
-        return {name: postprocess_voice(prep, run_measure_device(prep, pp), settings)}
+        prep = items[0][1]
+        lazy = _measure_device(
+            jnp.asarray(prep.nat), jnp.asarray(prep.nat_len),
+            jnp.asarray(prep.raw_for_device), jnp.asarray(prep.raw_len_dev),
+            jnp.asarray(prep.win_nat), jnp.asarray(prep.win_raw_dev), jnp.asarray(prep.mask),
+            rate=float(prep.rate), T=int(prep.nat.shape[1]),
+            T2=int(prep.raw_for_device.shape[1]), pp=pp,
+        )
+        return items, lazy
 
     rate = items[0][1].rate
     T = max(p.nat.shape[1] for _, p in items)
@@ -534,26 +563,9 @@ def measure_voices_batched(
     win_raw = np.concatenate([padN(p.win_raw_dev, N) for _, p in items])
     mask = np.concatenate([padN(p.mask, N) for _, p in items])
 
-    out = _measure_device(
+    lazy = _measure_device(
         jnp.asarray(nat), jnp.asarray(nat_len), jnp.asarray(raw), jnp.asarray(raw_len),
         jnp.asarray(win_nat), jnp.asarray(win_raw), jnp.asarray(mask),
         rate=float(rate), T=T, T2=T2, pp=pp,
     )
-    out = tuple(np.asarray(o) for o in out)
-
-    results = {}
-    offset = 0
-    for name, prep in items:
-        S = prep.nat.shape[0]
-        Nv = prep.win_nat.shape[1]
-        sl = (
-            out[0][offset : offset + S, :Nv],  # p_syn
-            out[1][offset : offset + S],       # p_seg
-            out[2][offset : offset + S, :Nv],  # l_nat_syn
-            out[3][offset : offset + S],       # l_nat_seg
-            out[4][offset : offset + S, :Nv],  # l_raw_syn
-            out[5][offset : offset + S],       # l_raw_seg
-        )
-        results[name] = postprocess_voice(prep, sl, settings)
-        offset += S
-    return results
+    return items, lazy
