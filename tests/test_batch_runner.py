@@ -83,3 +83,64 @@ class TestBatchedMeasure:
             assert (res / "OUT.wav").exists()
             with open(res / "BDD_syntagme_ssml.csv", newline="", encoding="utf-8") as f:
                 assert len(list(csv.DictReader(f))) > 0
+
+
+class TestMultiBucketAsync:
+    def test_cross_bucket_groups_match_per_voice(self, tmp_path):
+        """Voices whose segments land in DIFFERENT length buckets exercise
+        the multi-group async dispatch path of measure_voices_batched
+        (all groups launched before any drain) — results must still be
+        bit-comparable to per-voice runs."""
+        from prosody_control_french_tts_tpu.prosody.measure import (
+            bucket_length,
+            measure_voice,
+            measure_voices_batched,
+            prepare_voice,
+        )
+
+        gen = FakeBackend(seed=21)
+        voices = {"short": ["un", "mot."], "long": ["une", "phrase", "beaucoup", "plus",
+                                                    "longue", "avec", "des", "mots."]}
+        prep_inputs = {}
+        for voice, words in voices.items():
+            vdir = tmp_path / voice
+            (vdir / "audio").mkdir(parents=True)
+            (vdir / "raw").mkdir()
+            tgd = vdir / "tg"
+            tgd.mkdir()
+            chunks, times, t = [], [], 0.0
+            # pad the long voice with trailing silence to push it into a
+            # bigger bucket than the short one
+            for w in words:
+                a = gen._voice(w, 2.0, 0.0, 0.0)
+                times.append((t, t + len(a) / SR, w))
+                t += len(a) / SR
+                chunks.append(a)
+                chunks.append(np.zeros(int(0.3 * SR)))
+                t += 0.3
+            if voice == "long":
+                chunks.append(np.zeros(8 * SR))
+                t += 8.0
+            x = np.concatenate(chunks)
+            wavio.write_wav(vdir / "audio" / "segment_ph1.wav", x, SR)
+            write_textgrid(word_tier_with_silences(times, len(x) / SR), tgd / "segment_ph1.TextGrid")
+            # raw synthesis stand-in: same text through the fake backend
+            raw = gen._voice(" ".join(words), 0.0, 0.0, 0.0)
+            wavio.write_wav(vdir / "raw" / "segment_ph1.wav", raw, SR)
+            prep_inputs[voice] = ([vdir / "audio" / "segment_ph1.wav"], tgd, vdir / "raw")
+
+        from prosody_control_french_tts_tpu.prosody.adjust import ProsodySettings
+
+        settings = ProsodySettings()
+        preps = {v: prepare_voice(*args, settings) for v, args in prep_inputs.items()}
+        buckets = {v: p.nat.shape[1] for v, p in preps.items()}
+        assert buckets["short"] != buckets["long"], buckets  # two groups
+
+        batched = measure_voices_batched(preps, settings)
+        for v, args in prep_inputs.items():
+            single = measure_voice(*args, settings)
+            assert len(batched[v].rows) == len(single.rows)
+            for rb, rs in zip(batched[v].rows, single.rows):
+                assert rb.syntagme == rs.syntagme
+                assert abs(rb.raw_pitch - rs.raw_pitch) < 1e-3
+                assert abs(rb.raw_volume - rs.raw_volume) < 1e-3
