@@ -15,7 +15,7 @@ import logging
 
 from ..prosody.measure import MeasureResult, measure_voices_batched, prepare_voice
 from .config import PipelineConfig
-from .pipeline import AudioPipeline, run_pipeline_for_voice
+from .pipeline import AudioPipeline
 
 log = logging.getLogger(__name__)
 

@@ -10,7 +10,7 @@ optimizer state (optax.masked).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ features for the alignment models.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

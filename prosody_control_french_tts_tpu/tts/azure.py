@@ -89,7 +89,6 @@ class AzureBackend:
 
 
 def _decode_riff(raw: bytes) -> Audio:
-    import io
     import struct
 
     if raw[:4] != b"RIFF":
