@@ -357,7 +357,11 @@ class WhisperAligner:
             return words_to_textgrid(out_words, audio.duration_seconds)
         text = transcript if transcript is not None else self.transcribe(audio)
         token_ids = self.tokenizer.encode(text)[1:-1]
-        tokens = [self.tokenizer.decode([t]) for t in token_ids]
+        # raw vocab pieces, NOT decode([t]): decode strips the "##"
+        # continuation marker, which would make every WordPiece look like a
+        # new word and split multi-piece words in the TextGrid
+        inv = {i: t for t, i in self.tokenizer.vocab.items()}
+        pieces = [inv.get(t, "") for t in token_ids]
         mel = self.features(audio)
         ids = jnp.asarray([token_ids], jnp.int32)
         enc = self.model.apply(self.params, mel[None], method=WhisperModel.encode)
@@ -366,7 +370,9 @@ class WhisperAligner:
         )
         n_frames = enc.shape[-2]
         spans = token_times_from_cross_attention(cross, n_frames)
-        words = group_word_times([" " + t for t in tokens], spans)
+        words = group_word_times(
+            [p[2:] if p.startswith("##") else " " + p for p in pieces], spans
+        )
         dur = audio.duration_seconds
         words = [AlignedWord(min(w.start, dur), min(w.end, dur), w.word) for w in words]
         return words_to_textgrid(words, dur)

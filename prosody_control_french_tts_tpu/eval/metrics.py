@@ -20,17 +20,22 @@ def wer(reference: str, hypothesis: str) -> float:
     hyp = hypothesis.split()
     if not ref:
         return 0.0 if not hyp else 1.0
-    d = np.zeros((len(ref) + 1, len(hyp) + 1), dtype=np.int32)
-    d[:, 0] = np.arange(len(ref) + 1)
-    d[0, :] = np.arange(len(hyp) + 1)
-    for i in range(1, len(ref) + 1):
-        for j in range(1, len(hyp) + 1):
-            d[i, j] = min(
-                d[i - 1, j] + 1,
-                d[i, j - 1] + 1,
-                d[i - 1, j - 1] + (ref[i - 1] != hyp[j - 1]),
-            )
-    return float(d[-1, -1]) / len(ref)
+    # intern words to int codes, then roll rows with vectorised numpy (the
+    # scalar double loop is too slow for episode-length transcripts)
+    codes = {w: k for k, w in enumerate(dict.fromkeys(ref + hyp))}
+    r = np.array([codes[w] for w in ref], np.int32)
+    h = np.array([codes[w] for w in hyp], np.int32)
+    prev = np.arange(len(h) + 1, dtype=np.int32)
+    for i in range(1, len(r) + 1):
+        sub = prev[:-1] + (h != r[i - 1])
+        cur = np.minimum(prev[1:] + 1, sub)
+        # the insertion term cur[j-1]+1 is a sequential prefix dependency:
+        # resolve it with a running-minimum scan of (cur[j] - j)
+        cur = np.minimum.accumulate(np.concatenate(([i], cur)) - np.arange(len(h) + 1)) + np.arange(
+            len(h) + 1
+        )
+        prev = cur
+    return float(prev[-1]) / len(ref)
 
 
 def f0_contour(x: np.ndarray, sr: int, floor: float = 60.0, ceiling: float = 600.0) -> np.ndarray:

@@ -175,14 +175,29 @@ def _load_padded(paths_or_arrays, rate_expect=None):
             from ..utils.wavio import wav_info
 
             if available():
-                sizes = []
+                sizes, rates = [], []
                 for p in items:
                     try:
-                        sizes.append(wav_info(p)[0])  # header-only probe
+                        frames, file_rate = wav_info(p)  # header-only probe
                     except (FileNotFoundError, ValueError, OSError):
-                        sizes.append(1)
+                        frames, file_rate = 1, 0
+                    sizes.append(frames)
+                    rates.append(file_rate)
+                valid_rates = [r for r in rates if r > 0]
+                # always pin an explicit target rate: mixed-rate corpora must
+                # be resampled to ONE rate (target_rate=0 would leave them
+                # unresampled while reporting the first file's rate), and the
+                # stride must be sized in *output* samples — the C loader
+                # resamples before clipping to stride, so header counts at a
+                # lower native rate would silently truncate upsampled audio
+                target = int(rate_expect or (valid_rates[0] if valid_rates else 0))
+                if target:
+                    sizes = [
+                        int(np.ceil(f * target / r)) if r and r != target else f
+                        for f, r in zip(sizes, rates)
+                    ]
                 T = bucket_length(max(sizes))
-                res = load_batch(items, stride=T, target_rate=int(rate_expect or 0))
+                res = load_batch(items, stride=T, target_rate=target)
                 if res is not None:
                     batch, lens, rate = res
                     ok = lens > 0
@@ -410,8 +425,15 @@ def postprocess_voice(prep: PreparedVoice, outputs, settings: ProsodySettings) -
     wc_syn = np.array([m[2].word_count for m in meta], np.float64)
     nat_total = (win_nat[idx_i, idx_j, 1] - win_nat[idx_i, idx_j, 0]) / rate
     nat_total = np.where(nat_total == 0, 1e-4, nat_total)
-    eff_win_raw = np.where(raw_slice_empty[idx_i, idx_j, None], win_raw_dev[idx_i, idx_j], win_raw[idx_i, idx_j])
+    empty = raw_slice_empty[idx_i, idx_j]
+    raw_present = raw_ok[idx_i]
+    eff_win_raw = np.where(empty[:, None], win_raw_dev[idx_i, idx_j], win_raw[idx_i, idx_j])
     syn_total = (eff_win_raw[:, 1] - eff_win_raw[:, 0]) / rate
+    # raw file decoded but the window lies past its end: the reference's
+    # get_part_duration returns 1e-4 for an empty slice (only get_lufs falls
+    # back to the full file, Code/audioPipeline.py:314-323,338-348); the
+    # win_nat substitution applies only to missing raw files
+    syn_total = np.where(empty & raw_present, 1e-4, syn_total)
     syn_total = np.where(syn_total == 0, 1e-4, syn_total)
     d_nat = np.maximum(nat_total - pause_s, 1e-4)
     d_syn = np.maximum(syn_total - pause_s, 1e-4)
@@ -500,9 +522,11 @@ def measure_voices_batched(
     # over the padded buffer), so exact per-voice parity requires batching
     # only voices that share the same nat bucket; the LUFS path is
     # padding-invariant, so T2/N pad freely within a group.
-    groups: dict[int, dict] = {}
+    # key by (padded T, sample rate): _dispatch_group applies one rate to the
+    # whole group, so voices at different rates must never share a program
+    groups: dict[tuple[int, int], dict] = {}
     for name, prep in preps.items():
-        groups.setdefault(prep.nat.shape[1], {})[name] = prep
+        groups.setdefault((prep.nat.shape[1], int(prep.rate)), {})[name] = prep
 
     dispatched = [_dispatch_group(list(sub.items()), pp) for sub in groups.values()]
     results: dict[str, MeasureResult] = {}
@@ -540,6 +564,7 @@ def _dispatch_group(items, pp: PitchParams):
         return items, lazy
 
     rate = items[0][1].rate
+    assert all(p.rate == rate for _, p in items), "bucket group mixes sample rates"
     T = max(p.nat.shape[1] for _, p in items)
     T2 = max(p.raw_for_device.shape[1] for _, p in items)
     N = max(p.win_nat.shape[1] for _, p in items)
