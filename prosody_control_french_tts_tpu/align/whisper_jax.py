@@ -268,6 +268,55 @@ def check_audio_content(samples: np.ndarray, int_scale: float = 32768.0) -> tupl
 
 
 EMPTY_TEXT = "..."
+DISFLUENCY_MARK = "[*]"  # whisper-timestamped's pause/disfluency marker
+
+
+def vad_speech_regions(
+    audio: Audio,
+    min_silence_ms: int = 400,
+    silence_thresh_db: float = -40.0,
+    keep_silence_ms: int = 100,
+) -> list[tuple[float, float]]:
+    """Energy-based VAD: speech spans in seconds (the auditok stand-in the
+    reference passes to whisper.transcribe, use_whisper_timestamped.py:152).
+    Raises ValueError mentioning ``max_silence`` on audio too short to
+    window — the exact failure the reference's no-VAD retry catches
+    (:163-170, auditok raises when duration < max_silence)."""
+    from ..ops.energy import split_on_silence_ranges
+
+    a = audio.to_mono()
+    x = np.asarray(a.samples, np.float32)
+    dur_ms = len(x) * 1000.0 / a.rate
+    if dur_ms < 2 * min_silence_ms:
+        raise ValueError(f"max_silence ({min_silence_ms} ms) is larger than audio duration")
+    ranges = split_on_silence_ranges(x, a.rate, min_silence_ms, silence_thresh_db, keep_silence_ms)
+    return [(s / 1000.0, e / 1000.0) for s, e in ranges]
+
+
+def mark_disfluencies(
+    words: list[AlignedWord],
+    speech_regions: list[tuple[float, float]],
+    min_gap_s: float = 0.3,
+) -> list[AlignedWord]:
+    """Insert ``[*]`` entries in word-stream gaps that fall inside detected
+    speech (the model heard something but aligned no word there) — the
+    behavioral equivalent of whisper-timestamped's detect_disfluencies
+    (use_whisper_timestamped.py:154; markers surface in word texts and are
+    replaced with " " in the TextGrid, :375)."""
+
+    def in_speech(t0: float, t1: float) -> bool:
+        mid = 0.5 * (t0 + t1)
+        return any(s <= mid <= e for s, e in speech_regions)
+
+    out: list[AlignedWord] = []
+    prev_end = speech_regions[0][0] if speech_regions else 0.0
+    for w in sorted(words, key=lambda w: w.start):
+        gap = w.start - prev_end
+        if gap >= min_gap_s and in_speech(prev_end, w.start):
+            out.append(AlignedWord(prev_end, w.start, DISFLUENCY_MARK))
+        out.append(w)
+        prev_end = max(prev_end, w.end)
+    return out
 
 
 def empty_result() -> dict:
@@ -292,7 +341,15 @@ class WhisperAligner:
     cross-attention DTW. Requires trained/ported weights to produce real
     text; the gates and placeholder semantics work regardless."""
 
-    def __init__(self, cfg: WhisperConfig | None = None, params=None, tokenizer=None, weights_path=None):
+    def __init__(
+        self,
+        cfg: WhisperConfig | None = None,
+        params=None,
+        tokenizer=None,
+        weights_path=None,
+        use_vad: bool = True,
+        detect_disfluencies: bool = True,
+    ):
         self.cfg = cfg or WhisperConfig.tiny()
         self.model = WhisperModel(self.cfg)
         self.tokenizer = tokenizer
@@ -301,6 +358,54 @@ class WhisperAligner:
 
             params = load_params(weights_path)
         self.params = params
+        # the reference's transcription defaults: vad="auditok",
+        # detect_disfluencies=True (use_whisper_timestamped.py:150-156)
+        self.use_vad = use_vad
+        self.detect_disfluencies = detect_disfluencies
+
+    @classmethod
+    def from_pretrained(cls, path, **kwargs) -> "WhisperAligner":
+        """Load a deployed checkpoint directory: ``config.json`` (geometry),
+        ``weights.npz`` (ported via models.port_weights.whisper_to_flax or
+        trained here), and any supported tokenizer artifact
+        (tokenizer.json / vocab.json+merges.txt / *.tiktoken / *.bpe.json).
+        The out-of-the-box experience of the reference's model download
+        (use_whisper_timestamped.py:92-104), minus the network."""
+        import json
+        from pathlib import Path
+
+        from ..models.bpe_tokenizer import load_whisper_tokenizer
+        from .ctc_aligner import load_params
+
+        p = Path(path)
+        cfg_file = p / "config.json"
+        if cfg_file.exists():
+            d = json.loads(cfg_file.read_text(encoding="utf-8"))
+            d.pop("dtype", None)
+            cfg = WhisperConfig(**d)
+        else:
+            cfg = WhisperConfig.base()
+        tokenizer = load_whisper_tokenizer(p)
+        params = load_params(p / "weights.npz")
+        return cls(cfg, params=params, tokenizer=tokenizer, **kwargs)
+
+    def save_pretrained(self, path) -> None:
+        import dataclasses
+        import json
+        from pathlib import Path
+
+        from .ctc_aligner import save_params
+
+        p = Path(path)
+        p.mkdir(parents=True, exist_ok=True)
+        d = dataclasses.asdict(self.cfg)
+        d.pop("dtype", None)
+        (p / "config.json").write_text(json.dumps(d), encoding="utf-8")
+        save_params(self.params, p / "weights.npz")
+        if hasattr(self.tokenizer, "specials"):  # ByteLevelBPE artifact
+            self.tokenizer.save(p / "tokenizer.bpe.json")
+        elif hasattr(self.tokenizer, "save"):  # WordPiece vocab json
+            self.tokenizer.save(p / "wordpiece_vocab.json")
 
     def features(self, audio: Audio) -> jnp.ndarray:
         from ..utils.wavio import resample
@@ -328,21 +433,76 @@ class WhisperAligner:
             )
         if self.params is None or self.tokenizer is None:
             raise ValueError("WhisperAligner needs weights + tokenizer")
-        # Whisper's receptive field is 30 s (n_audio_ctx frames); longer
-        # audio is processed in windows with word budgets apportioned by
-        # duration (the reference's stack delegates this to
-        # whisper-timestamped's internal chunking)
+        dur = audio.duration_seconds
+        regions: list[tuple[float, float]] | None = None
+        words: list[AlignedWord] | None = None
+        if self.use_vad:
+            try:
+                regions = vad_speech_regions(audio)
+            except ValueError as e:
+                # auditok-parity failure on short audio → retry without VAD
+                # (use_whisper_timestamped.py:163-170)
+                if "max_silence" not in str(e):
+                    raise
+                regions = None
+            if regions:
+                words = self._align_regions(audio, transcript, regions)
+        if words is None:
+            words = self._align_words(audio, transcript)
+        if self.detect_disfluencies:
+            words = mark_disfluencies(words, regions if regions else [(0.0, dur)])
+        # the reference's TextGrid replaces the marker with " "
+        # (use_whisper_timestamped.py:375) so downstream sees a pause: pure
+        # markers become silence gaps in our ""-silence convention
+        words = [
+            AlignedWord(w.start, w.end, w.word.replace(DISFLUENCY_MARK, " ").strip())
+            for w in words
+        ]
+        return words_to_textgrid([w for w in words if w.word], dur)
+
+    def _align_regions(
+        self, audio: Audio, transcript: str | None, regions: list[tuple[float, float]]
+    ) -> list[AlignedWord]:
+        """Per-speech-region alignment with transcript words apportioned by
+        region duration; times offset back to the full-audio clock."""
+        words_all = transcript.split() if transcript is not None else None
+        total_speech = sum(e - s for s, e in regions) or 1e-9
+        out: list[AlignedWord] = []
+        wi = 0
+        for k, (t0, t1) in enumerate(regions):
+            sub = audio.slice_ms(t0 * 1000, t1 * 1000)
+            if words_all is not None:
+                if k < len(regions) - 1:
+                    share = int(round(len(words_all) * (t1 - t0) / total_speech))
+                    chunk = words_all[wi : wi + max(share, 0)]
+                else:
+                    chunk = words_all[wi:]
+                wi += len(chunk)
+                if not chunk:
+                    continue
+                sub_tr = " ".join(chunk)
+            else:
+                sub_tr = None
+            for w in self._align_words(sub, sub_tr):
+                out.append(AlignedWord(w.start + t0, w.end + t0, w.word))
+        return out
+
+    def _align_words(self, audio: Audio, transcript: str | None) -> list[AlignedWord]:
+        """Single-clock alignment: ≤30 s windows through the model, longer
+        audio chunked with word budgets apportioned by duration (the
+        reference delegates this to whisper-timestamped's chunking)."""
         window_s = self.cfg.n_audio_ctx * FRAME_DT
-        if audio.duration_seconds > window_s:
-            words_all = (transcript.split() if transcript is not None else None)
+        dur = audio.duration_seconds
+        if dur > window_s:
+            words_all = transcript.split() if transcript is not None else None
             out_words: list[AlignedWord] = []
-            n_chunks = int(np.ceil(audio.duration_seconds / window_s))
+            n_chunks = int(np.ceil(dur / window_s))
             wi = 0
             for c in range(n_chunks):
                 t0 = c * window_s
-                sub = audio.slice_ms(t0 * 1000, min((c + 1) * window_s, audio.duration_seconds) * 1000)
+                sub = audio.slice_ms(t0 * 1000, min((c + 1) * window_s, dur) * 1000)
                 if words_all is not None:
-                    share = int(round(len(words_all) * sub.duration_seconds / audio.duration_seconds))
+                    share = int(round(len(words_all) * sub.duration_seconds / dur))
                     chunk_words = words_all[wi : wi + max(share, 0)] if c < n_chunks - 1 else words_all[wi:]
                     wi += len(chunk_words)
                     sub_tr = " ".join(chunk_words)
@@ -350,18 +510,15 @@ class WhisperAligner:
                         continue
                 else:
                     sub_tr = None
-                tg = self.align(sub, sub_tr)
-                for iv in tg.tiers[0]:
-                    if iv.mark.strip():
-                        out_words.append(AlignedWord(iv.min_time + t0, iv.max_time + t0, iv.mark))
-            return words_to_textgrid(out_words, audio.duration_seconds)
+                for w in self._align_words(sub, sub_tr):
+                    out_words.append(AlignedWord(w.start + t0, w.end + t0, w.word))
+            return out_words
         text = transcript if transcript is not None else self.transcribe(audio)
         token_ids = self.tokenizer.encode(text)[1:-1]
-        # raw vocab pieces, NOT decode([t]): decode strips the "##"
-        # continuation marker, which would make every WordPiece look like a
-        # new word and split multi-piece words in the TextGrid
-        inv = {i: t for t, i in self.tokenizer.vocab.items()}
-        pieces = [inv.get(t, "") for t in token_ids]
+        # per-token surface strings with a leading space marking word starts
+        # (NOT decode([t]): that strips the WordPiece "##" marker and would
+        # split multi-piece words); both tokenizer families implement this
+        pieces = self.tokenizer.pieces_with_boundaries(token_ids)
         mel = self.features(audio)
         ids = jnp.asarray([token_ids], jnp.int32)
         enc = self.model.apply(self.params, mel[None], method=WhisperModel.encode)
@@ -370,12 +527,8 @@ class WhisperAligner:
         )
         n_frames = enc.shape[-2]
         spans = token_times_from_cross_attention(cross, n_frames)
-        words = group_word_times(
-            [p[2:] if p.startswith("##") else " " + p for p in pieces], spans
-        )
-        dur = audio.duration_seconds
-        words = [AlignedWord(min(w.start, dur), min(w.end, dur), w.word) for w in words]
-        return words_to_textgrid(words, dur)
+        words = group_word_times(pieces, spans)
+        return [AlignedWord(min(w.start, dur), min(w.end, dur), w.word) for w in words]
 
     def transcribe(self, audio: Audio, max_tokens: int = 128) -> str:
         if self.params is None or self.tokenizer is None:

@@ -162,6 +162,22 @@ class WordPieceTokenizer:
         ids, _ = self.encode_words(pretokenize(text))
         return ids
 
+    def pieces_with_boundaries(self, ids: list[int]) -> list[str]:
+        """Per-token surface strings where a leading space marks a word
+        start (the aligner's grouping contract): continuation pieces come
+        through bare, word-initial pieces get the space prefix."""
+        inv = {i: t for t, i in self.vocab.items()}
+        out = []
+        for i in ids:
+            p = inv.get(i, UNK)
+            if p in SPECIALS and p != UNK:
+                out.append("")
+            elif p.startswith("##"):
+                out.append(p[2:])
+            else:
+                out.append(" " + p)
+        return out
+
     def decode(self, ids: list[int]) -> str:
         inv = {i: t for t, i in self.vocab.items()}
         toks = [inv.get(i, UNK) for i in ids if inv.get(i) not in (PAD, CLS, SEP)]

@@ -390,3 +390,135 @@ class TestG2P:
         words = [iv for iv in tg.tiers[0] if iv.mark.strip()]
         assert [w.mark for w in words] == ["aa", "oo"]
         assert words[0].min_time < 0.3 < words[1].max_time
+
+
+class TestVADAndDisfluency:
+    """Reference transcription semantics: vad="auditok", no-VAD retry on
+    short audio, detect_disfluencies (use_whisper_timestamped.py:150-170)."""
+
+    def _speech_like(self, sr=16000, spans=((0.6, 1.5), (2.4, 3.3)), total=3.9):
+        rng = np.random.default_rng(0)
+        x = np.zeros(int(total * sr), np.float32)
+        for s, e in spans:
+            t = np.arange(int((e - s) * sr)) / sr
+            x[int(s * sr) : int(s * sr) + len(t)] = 0.3 * np.sin(2 * np.pi * 180 * t) * (
+                0.6 + 0.4 * np.sin(2 * np.pi * 3.1 * t)
+            )
+        return x + 0.001 * rng.normal(size=len(x)).astype(np.float32)
+
+    def test_vad_finds_speech_regions(self):
+        from prosody_control_french_tts_tpu.align.whisper_jax import vad_speech_regions
+        from prosody_control_french_tts_tpu.utils.wavio import Audio
+
+        x = self._speech_like()
+        regions = vad_speech_regions(Audio(x, 16000))
+        assert len(regions) == 2
+        (a0, a1), (b0, b1) = regions
+        assert abs(a0 - 0.6) < 0.2 and abs(a1 - 1.5) < 0.2
+        assert abs(b0 - 2.4) < 0.2 and abs(b1 - 3.3) < 0.2
+
+    def test_vad_short_audio_raises_max_silence(self):
+        from prosody_control_french_tts_tpu.align.whisper_jax import vad_speech_regions
+        from prosody_control_french_tts_tpu.utils.wavio import Audio
+
+        with pytest.raises(ValueError, match="max_silence"):
+            vad_speech_regions(Audio(np.ones(4000, np.float32) * 0.3, 16000))
+
+    def test_align_short_audio_retries_without_vad(self, monkeypatch):
+        """0.25 s of audio fails the VAD windowing; align() must fall back
+        to the no-VAD path and still produce words (ref :163-170)."""
+        from prosody_control_french_tts_tpu.models.tokenizer import WordPieceTokenizer
+        import prosody_control_french_tts_tpu.align.whisper_jax as WJ
+
+        cfg = WhisperConfig.test()
+        tok = WordPieceTokenizer.train(["oui non"], vocab_size=60, min_freq=1)
+        al = WhisperAligner(cfg, tokenizer=tok, use_vad=True, detect_disfluencies=False)
+        al.params = al.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 40, cfg.n_mels)), jnp.asarray([[1, 2]], jnp.int32)
+        )
+
+        def fake_spans(cross, n_frames, frame_dt=0.02):
+            n_tok = cross[0].shape[-2]
+            return np.array([[0.02 * i, 0.02 * (i + 1)] for i in range(n_tok)])
+
+        monkeypatch.setattr(WJ, "token_times_from_cross_attention", fake_spans)
+        sr = 16000
+        t = np.arange(int(0.25 * sr)) / sr
+        audio = Audio((0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32), sr)
+        tg = al.align(audio, "oui non")
+        marks = [iv.mark for iv in tg.tiers[0] if iv.mark.strip()]
+        assert marks == ["oui", "non"]
+
+    def test_vad_regions_offset_word_times(self, monkeypatch):
+        """With two speech islands, transcript words are apportioned per
+        region and their times land inside the right island."""
+        from prosody_control_french_tts_tpu.models.tokenizer import WordPieceTokenizer
+        import prosody_control_french_tts_tpu.align.whisper_jax as WJ
+
+        cfg = WhisperConfig.test()
+        tok = WordPieceTokenizer.train(["oui non"], vocab_size=60, min_freq=1)
+        al = WhisperAligner(cfg, tokenizer=tok, use_vad=True, detect_disfluencies=False)
+        al.params = al.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 40, cfg.n_mels)), jnp.asarray([[1, 2]], jnp.int32)
+        )
+
+        def fake_spans(cross, n_frames, frame_dt=0.02):
+            n_tok = cross[0].shape[-2]
+            return np.array([[0.05 * i, 0.05 * (i + 1)] for i in range(n_tok)])
+
+        monkeypatch.setattr(WJ, "token_times_from_cross_attention", fake_spans)
+        x = self._speech_like()
+        tg = al.align(Audio(x, 16000), "oui non")
+        words = [iv for iv in tg.tiers[0] if iv.mark.strip()]
+        assert [w.mark for w in words] == ["oui", "non"]
+        assert words[0].min_time < 1.7  # first island
+        assert words[1].min_time > 2.2  # second island
+
+    def test_disfluency_marker_becomes_pause(self):
+        """A word-stream gap inside detected speech gets the [*] marker,
+        which surfaces as a silence interval in the TextGrid (ref :375
+        replaces the marker with ' ')."""
+        from prosody_control_french_tts_tpu.align.whisper_jax import (
+            DISFLUENCY_MARK,
+            mark_disfluencies,
+        )
+        from prosody_control_french_tts_tpu.align.base import AlignedWord
+
+        words = [AlignedWord(0.1, 0.4, "bonjour"), AlignedWord(1.2, 1.5, "monde")]
+        out = mark_disfluencies(words, [(0.0, 1.6)], min_gap_s=0.3)
+        assert [w.word for w in out] == ["bonjour", DISFLUENCY_MARK, "monde"]
+        assert out[1].start == pytest.approx(0.4) and out[1].end == pytest.approx(1.2)
+        # gap outside speech → no marker
+        out2 = mark_disfluencies(words, [(0.0, 0.5)], min_gap_s=0.3)
+        assert [w.word for w in out2] == ["bonjour", "monde"]
+
+
+class TestFromPretrained:
+    def test_save_load_roundtrip_with_bpe(self, tmp_path, monkeypatch):
+        from prosody_control_french_tts_tpu.models.bpe_tokenizer import synthetic_multilingual
+        import prosody_control_french_tts_tpu.align.whisper_jax as WJ
+
+        cfg = WhisperConfig.test(vocab_size=52000)
+        tok = synthetic_multilingual()
+        al = WhisperAligner(cfg, tokenizer=tok, use_vad=False, detect_disfluencies=False)
+        al.params = al.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 40, cfg.n_mels)), jnp.asarray([[1, 2]], jnp.int32)
+        )
+        al.save_pretrained(tmp_path / "ckpt")
+        al2 = WhisperAligner.from_pretrained(
+            tmp_path / "ckpt", use_vad=False, detect_disfluencies=False
+        )
+        assert al2.cfg.vocab_size == 52000 and al2.cfg.dim == cfg.dim
+        assert al2.tokenizer.encode("bonjour") == tok.encode("bonjour")
+
+        def fake_spans(cross, n_frames, frame_dt=0.02):
+            n_tok = cross[0].shape[-2]
+            return np.array([[0.05 * i, 0.05 * (i + 1)] for i in range(n_tok)])
+
+        monkeypatch.setattr(WJ, "token_times_from_cross_attention", fake_spans)
+        sr = 16000
+        t = np.arange(sr) / sr
+        audio = Audio((0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+        tg = al2.align(audio, "bonjour le monde")
+        marks = [iv.mark for iv in tg.tiers[0] if iv.mark.strip()]
+        assert marks == ["bonjour", "le", "monde"]
