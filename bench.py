@@ -1,9 +1,26 @@
-"""Benchmark: prosody-extraction throughput (the BASELINE.md north star).
+"""Benchmarks for the BASELINE.md north-star metrics.
 
-Runs the batched measure device program (full Boersma F0 track + windowed
-gated LUFS on natural and raw corpora + per-syntagme medians) over the
-reference's bundled corpus (10 segments, ≈162 s of 44.1 kHz speech) and
-reports audio-hours processed per wall-clock hour on the current device.
+Primary (the driver-recorded headline): prosody-extraction throughput —
+the batched measure device program (full Boersma F0 track + windowed gated
+LUFS on natural and raw corpora + per-syntagme medians) over the
+reference's bundled corpus (10 segments, ≈162 s of 44.1 kHz speech),
+reported as audio-hours processed per wall-clock hour on the current
+device.
+
+Secondary figures, carried as extra fields on the same JSON line (the
+driver reads one line; extra keys are driver-safe):
+
+- ``bert_sentences_per_sec`` — batched jit inference throughput of the
+  break tagger at the reference's model scale (bert-base geometry,
+  pause_bert.py's bert-base-multilingual-uncased), BASELINE.md's second
+  north-star metric;
+- ``pipeline_e2e_audio_hours_per_hour`` — a full 8-step voice run
+  (Preprocess → Compare Breaks, FakeBackend TTS + energy aligner) on real
+  corpus audio, so regressions outside ops/ are visible.
+
+``BENCH_METRIC=measure|bert|e2e`` selects which figure becomes the
+headline metric/value. Secondary figures can be skipped with
+``BENCH_FAST=1`` (headline only).
 
 Measurement shape mirrors production (`prosody.measure.measure_voices_batched`
 + `core.batch_runner`): segments grouped into padded length buckets — the
@@ -22,6 +39,7 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 from collections import defaultdict
 from pathlib import Path
@@ -85,7 +103,8 @@ def _bucket_args(sig_list, T, rate, pp, jitter):
     return args, dict(rate=float(rate), T=T, T2=T, pp=pp)
 
 
-def main():
+def bench_measure() -> float:
+    """Headline: audio-hours/hour through the measure device program."""
     from prosody_control_french_tts_tpu.ops.pitch import PitchParams
     from prosody_control_french_tts_tpu.prosody.measure import _measure_device, bucket_length
 
@@ -123,18 +142,126 @@ def main():
     assert np.isfinite(sink)
 
     audio_hours = total_audio_s * iters / 3600.0
-    wall_hours = dt / 3600.0
-    value = audio_hours / wall_hours
-    print(
-        json.dumps(
+    return audio_hours / (dt / 3600.0)
+
+
+def bench_bert() -> float:
+    """Second north star: break-tagger sentences/sec, batched jit inference
+    at the reference's model scale (bert-base geometry, the default
+    BertConfig — pause_bert.py trains bert-base-multilingual-uncased)."""
+    import jax.numpy as jnp
+
+    from prosody_control_french_tts_tpu.models.bert import BertConfig, BreakTagger
+    from prosody_control_french_tts_tpu.models.break_trainer import sentences_per_second
+    from prosody_control_french_tts_tpu.models.datasets import BreakTagDataset
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    cfg = BertConfig() if on_accel else BertConfig.tiny()
+    model = BreakTagger(cfg)
+    rng = np.random.default_rng(0)
+    B, iters = (256, 100) if on_accel else (32, 2)  # cpu fallback: keep it test-sized
+    ids = rng.integers(5, cfg.vocab_size, size=(B, cfg.max_len)).astype(np.int32)
+    mask = np.ones((B, cfg.max_len), bool)
+    labels = np.zeros((B, cfg.max_len), np.int32)
+    ds = BreakTagDataset(ids, mask, labels)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids[:1]), jnp.asarray(mask[:1]))
+    return sentences_per_second(model, params, ds, batch_size=B, iters=iters)
+
+
+def bench_pipeline_e2e() -> float:
+    """Full 8-step voice run (Preprocess → Compare Breaks) on real corpus
+    audio with the FakeBackend TTS + energy aligner: end-to-end audio-hours
+    per wall-clock hour, including all host work (silence split, TextGrids,
+    SSML emission, stitching, break comparison)."""
+    import shutil
+    import tempfile
+
+    from prosody_control_french_tts_tpu.core.config import PipelineConfig
+    from prosody_control_french_tts_tpu.core.pipeline import AudioPipeline
+    from prosody_control_french_tts_tpu.tts.fake import FakeBackend
+    from prosody_control_french_tts_tpu.utils.wavio import read_wav, write_wav
+
+    texts = {
+        2: "bonjour et bienvenue dans cette nouvelle emission consacree a la musique",
+        3: "nous allons parler aujourd'hui des grands compositeurs francais du siecle dernier",
+        4: "commencons par un portrait de claude debussy et de son oeuvre majeure",
+    }
+    root = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
+    try:
+        vdir = root / "Data" / "voice" / "rec"
+        (vdir / "brute").mkdir(parents=True)
+        sigs, rate = [], 44100
+        for n in texts:
+            a = read_wav(CORPUS / f"segment_ph{n}.wav").to_mono()
+            rate = a.rate
+            sigs.append(np.asarray(a.samples, np.float32))
+            sigs.append(np.zeros(int(1.5 * rate), np.float32))
+        brute = np.concatenate(sigs)
+        write_wav(vdir / "brute" / "segment.wav", brute, rate)
+        audio_seconds = brute.size / rate
+
+        cfg = PipelineConfig.from_dict(
             {
-                "metric": "prosody_extraction_throughput",
-                "value": round(value, 1),
-                "unit": "audio-hours/hour",
-                "vs_baseline": round(value / 100.0, 3),
-            }
+                "data_dir": "Data/voice",
+                "out_dir": "Out",
+                "voice_names": ["rec"],
+                "tts_backend": "fake",
+                "aligner": "energy",
+                "silence": {"min_silence_len": 1000, "silence_thresh": -50, "keep_silence": 300},
+            },
+            root,
         )
-    )
+        t0 = time.perf_counter()
+        pipe = AudioPipeline("rec", cfg, tts=FakeBackend(seed=1))
+        pipe.preprocess()
+        # the energy aligner is transcript-driven: name transcripts after
+        # whatever segments the silence split produced
+        (vdir / "transcription_raw").mkdir(exist_ok=True)
+        segs = sorted((vdir / "audio").glob("*.wav"))
+        for seg, txt in zip(segs, list(texts.values()) * ((len(segs) // 3) + 1)):
+            (vdir / "transcription_raw" / f"{seg.stem}.txt").write_text(txt, encoding="utf-8")
+        remaining = [n for n in AudioPipeline.STEP_NAMES if n != "Preprocess"]
+        pipe.cfg.steps_to_run = remaining
+        pipe.run()
+        dt = time.perf_counter() - t0
+        assert (root / "Out" / "results" / "rec" / "OUT.wav").exists()
+        return (audio_seconds / 3600.0) / (dt / 3600.0)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main():
+    value = bench_measure()
+    extra = {}
+    if not os.environ.get("BENCH_FAST"):
+        extra["bert_sentences_per_sec"] = round(bench_bert(), 1)
+        extra["pipeline_e2e_audio_hours_per_hour"] = round(bench_pipeline_e2e(), 1)
+
+    which = os.environ.get("BENCH_METRIC", "measure")
+    if which == "bert" and "bert_sentences_per_sec" in extra:
+        head = {
+            "metric": "bert_tagger_throughput",
+            "value": extra["bert_sentences_per_sec"],
+            "unit": "sentences/sec",
+            # no published baseline ("to be measured & maximized")
+            "vs_baseline": 1.0,
+        }
+    elif which == "e2e" and "pipeline_e2e_audio_hours_per_hour" in extra:
+        head = {
+            "metric": "pipeline_e2e_throughput",
+            "value": extra["pipeline_e2e_audio_hours_per_hour"],
+            "unit": "audio-hours/hour",
+            "vs_baseline": round(extra["pipeline_e2e_audio_hours_per_hour"] / 100.0, 3),
+        }
+    else:
+        head = {
+            "metric": "prosody_extraction_throughput",
+            "value": round(value, 1),
+            "unit": "audio-hours/hour",
+            "vs_baseline": round(value / 100.0, 3),
+        }
+    head.update(extra)
+    print(json.dumps(head))
 
 
 if __name__ == "__main__":

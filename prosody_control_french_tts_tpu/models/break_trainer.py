@@ -169,14 +169,21 @@ def sentences_per_second(model, params, ds: BreakTagDataset, batch_size: int = 2
     ids = jnp.asarray(np.resize(ds.ids, (batch_size, ds.ids.shape[1])))
     mask = jnp.asarray(np.resize(ds.mask, (batch_size, ds.mask.shape[1])))
 
-    fwd = jax.jit(lambda p, ids, mask: model.apply(p, ids, mask))
+    # the whole iteration loop lives on-device (lax.scan, one dispatch, one
+    # scalar back): per-iteration host reads — or even per-iteration
+    # dispatches — would measure link latency instead of inference
+    # throughput (the bench chip sits behind a network tunnel)
+    @jax.jit
+    def run(p, ids, mask):
+        def body(acc, i):
+            out = model.apply(p, jnp.roll(ids, i + 1, axis=0), mask)
+            return acc + out[0, 0, 0].astype(jnp.float32), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        return acc
 
-    float(np.asarray(fwd(params, ids, mask))[0, 0, 0])
+    float(np.asarray(run(params, ids, mask)))  # compile + warm
     t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        out = fwd(params, jnp.roll(ids, i, axis=0), mask)
-        acc += float(out[0, 0, 0])
+    acc = float(np.asarray(run(params, ids, mask)))
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)
     return batch_size * iters / dt

@@ -25,9 +25,8 @@ class TestCorpusGolden:
         from prosody_control_french_tts_tpu.utils.wavio import read_wav
 
         golden = json.loads(GOLDEN.read_text())
-        # spot-check three segments (full sweep is the generation script;
-        # three keeps suite time sane while still catching kernel drift)
-        for w in [corpus_wavs[0], corpus_wavs[3], corpus_wavs[-1]]:
+        # full sweep: every bundled segment (VERDICT round-1 item 6)
+        for w in corpus_wavs:
             g = golden[w.stem]
             a = read_wav(w).to_mono()
             x = np.asarray(a.samples, np.float32)

@@ -301,3 +301,62 @@ class TestSilenceFuzz:
             assert len(got) == len(want), (case, got, want)
             for g, w in zip(got, want):
                 assert abs(g[0] - w[0]) <= 1 and abs(g[1] - w[1]) <= 1, (case, g, w)
+
+
+class TestBS1770Conformance:
+    """Analytic EBU-Tech-3341-style conformance signals: the expected LUFS
+    values are known *by construction* (997 Hz calibration tone math), not
+    re-derived from our own kernel — independent evidence for the absolute
+    calibration and both gating stages (VERDICT round-1 item 6)."""
+
+    SR = 48000
+
+    def _sine(self, amp, secs, f=997.0):
+        t = np.arange(int(secs * self.SR)) / self.SR
+        return (amp * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+    def test_full_scale_sine_is_minus_3(self):
+        """BS.1770's own calibration statement: a 0 dBFS 997 Hz sine reads
+        −3.01 LKFS (mean square ½ → 10·log10(½); the −0.691 offset cancels
+        the K-filter's gain at 997 Hz)."""
+        from prosody_control_french_tts_tpu.ops.loudness import integrated_loudness
+
+        got = integrated_loudness(self._sine(1.0, 20), self.SR)
+        assert abs(got - (-3.01)) < 0.1, got
+
+    def test_minus20_sine_tracks_linearly(self):
+        from prosody_control_french_tts_tpu.ops.loudness import integrated_loudness
+
+        got = integrated_loudness(self._sine(0.1, 20), self.SR)
+        assert abs(got - (-23.01)) < 0.1, got
+
+    def test_absolute_gate_drops_minus72_tails(self):
+        """Tech 3341 case-5 shape: −72 LUFS leaders/tails sit below the
+        −70 absolute gate and must not dilute the −23 LUFS program."""
+        from prosody_control_french_tts_tpu.ops.loudness import integrated_loudness
+
+        a72 = 10 ** ((-72 + 3.01) / 20)
+        x = np.concatenate([self._sine(a72, 10), self._sine(0.1, 60), self._sine(a72, 10)])
+        got = integrated_loudness(x, self.SR)
+        assert abs(got - (-23.0)) < 0.12, got
+
+    def test_relative_gate_drops_minus36_blocks(self):
+        """Tech 3341 case 3: −36 LUFS segments pass the absolute gate but
+        fall below the −10 LU relative gate → integrated stays −23.0."""
+        from prosody_control_french_tts_tpu.ops.loudness import integrated_loudness
+
+        a36 = 10 ** ((-36 + 3.01) / 20)
+        x = np.concatenate([self._sine(a36, 10), self._sine(0.1, 60), self._sine(a36, 10)])
+        got = integrated_loudness(x, self.SR)
+        assert abs(got - (-23.0)) < 0.12, got
+
+    def test_pipeline_rate_calibration(self):
+        """Same calibration at the corpus rate (44.1 kHz): the K-weighting
+        biquads are designed per-rate, so this pins the rate adaptation."""
+        from prosody_control_french_tts_tpu.ops.loudness import integrated_loudness
+
+        sr = 44100
+        t = np.arange(20 * sr) / sr
+        x = (0.1 * np.sin(2 * np.pi * 997.0 * t)).astype(np.float32)
+        got = integrated_loudness(x, sr)
+        assert abs(got - (-23.01)) < 0.1, got
