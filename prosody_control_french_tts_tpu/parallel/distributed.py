@@ -32,10 +32,20 @@ log = logging.getLogger(__name__)
 
 def initialize(coordinator: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> bool:
     """Best-effort jax.distributed.initialize; returns True when running
-    multi-process. No-ops (returns False) in single-process environments."""
+    multi-process. No-ops (returns False) in single-process environments.
+
+    On the CPU backend (multi-host tests, DCN-only clusters) cross-process
+    collectives need a transport — select the gloo implementation before the
+    backend initialises (exercised for real by
+    tests/test_distributed_multiprocess.py, two OS processes + psum)."""
     num_processes = num_processes or int(os.environ.get("PCFT_NUM_PROCESSES", "1"))
     if num_processes <= 1:
         return False
+    if jax.config.jax_platforms in ("cpu", None) or os.environ.get("JAX_PLATFORMS") == "cpu":
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # noqa: BLE001 — older jax: single-impl CPU collectives
+            pass
     jax.distributed.initialize(
         coordinator_address=coordinator or os.environ.get("PCFT_COORDINATOR", "localhost:1234"),
         num_processes=num_processes,
@@ -45,15 +55,26 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
     return True
 
 
-def hybrid_mesh(model: int = 1, data: int | None = None) -> Mesh:
+def hybrid_mesh(model: int = 1, data: int | None = None, slices: int | None = None) -> Mesh:
     """("dcn", "data", "model") mesh: the model axis on the fastest (ICI)
-    dimension, data within a slice, slices across DCN."""
+    dimension, data within a slice, slices across DCN.
+
+    Slice count: explicit ``slices`` override, else device ``slice_index``
+    attributes (TPU multi-slice), else one slice per process (multi-host
+    CPU/GPU clusters, where each host's devices only reach the others over
+    DCN — the process boundary IS the slice boundary)."""
     devices = jax.devices()
     n = len(devices)
-    n_slices = max(getattr(devices[0], "num_slices", 1) if hasattr(devices[0], "num_slices") else 1, 1)
-    # derive slice count from device attributes when available
-    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
-    n_slices = max(len(slice_ids), 1)
+    if slices is not None:
+        n_slices = slices
+        if n % n_slices:
+            raise ValueError(f"{n} devices not divisible into {n_slices} slices")
+    else:
+        # derive slice count from device attributes when available
+        slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+        n_slices = max(len(slice_ids), 1)
+        if n_slices == 1 and jax.process_count() > 1 and n % jax.process_count() == 0:
+            n_slices = jax.process_count()
     per_slice = n // n_slices
     if data is None:
         data = per_slice // model

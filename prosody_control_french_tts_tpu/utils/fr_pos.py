@@ -42,11 +42,15 @@ ADP = {
     "selon", "via", "au", "aux", "d'", "concernant", "excepté", "suivant",
     "voici", "voilà",
 }
-CCONJ = {"mais", "ou", "et", "donc", "or", "ni", "car", "soit", "sinon", "puis"}
+# "puis"/"sinon"/"bien" are ADV in UD French (pauses after "Eh bien," /
+# "Puis," are legitimate — spaCy would not suppress them); "donc" is kept
+# although UD GSD leans ADV: mid-clause "donc" (its dominant position) is
+# never pause-followed, so the conservative reading costs nothing.
+CCONJ = {"mais", "ou", "et", "donc", "or", "ni", "car", "soit"}
 SCONJ = {
     "que", "qu'", "si", "s'", "comme", "quand", "lorsque", "lorsqu'",
     "puisque", "puisqu'", "quoique", "quoiqu'", "parce",
-    "tandis", "afin", "bien", "dès", "avant", "après", "pendant",
+    "tandis", "afin", "dès", "avant", "après", "pendant",
 }
 PRON = {
     "je", "j'", "tu", "il", "elle", "on", "nous", "vous", "ils", "elles",
