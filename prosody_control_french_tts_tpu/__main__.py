@@ -10,6 +10,7 @@ Commands mirror the reference's entry points (README.md:118-143 usage):
   analyze    corpus statistics (analyze_dataset.py)
   corpus     natural-corpus assembly (create_natural_data.py)
   train-ctc  bootstrap the CTC forced aligner from wav+txt pairs
+  pretrain-ctc  rebuild the packaged out-of-the-box CTC checkpoint
   bench      the throughput benchmark
 """
 
@@ -180,6 +181,22 @@ def main(argv: list[str] | None = None):
         args = ap.parse_args(rest)
         _, losses = train_ctc_aligner(args.corpus, args.out, epochs=args.epochs)
         print(f"final loss {losses[-1]:.3f} -> {args.out}")
+        return 0
+    if cmd == "pretrain-ctc":
+        import argparse
+
+        from .align.pretrain_ctc import PACKAGED_WEIGHTS, pretrain
+
+        ap = argparse.ArgumentParser(prog="pretrain-ctc")
+        ap.add_argument("--out", default=str(PACKAGED_WEIGHTS))
+        ap.add_argument("--sentences", type=int, default=384)
+        ap.add_argument("--epochs", type=int, default=30)
+        ap.add_argument("--batch", type=int, default=8)
+        args = ap.parse_args(rest)
+        _, err_ms = pretrain(
+            args.out, n_sentences=args.sentences, epochs=args.epochs, batch=args.batch
+        )
+        print(f"held-out boundary error {err_ms:.1f} ms -> {args.out}")
         return 0
     if cmd == "bench":
         import runpy

@@ -111,6 +111,14 @@ class CTCAligner:
         self.frame_dt = self.hop / sample_rate * 2.0
         if weights_path is not None:
             params = load_params(weights_path)
+        elif params is None and dim == 128 and layers == 2 and vocab is None:
+            # out-of-the-box default: the packaged checkpoint pretrained on
+            # compositional synthetic French speech (align/pretrain_ctc.py)
+            # — the role MFA/NeMo pretrained models play for the reference.
+            # Projects fine-tune via train_ctc or pass weights_path.
+            packaged = Path(__file__).parent / "pretrained" / "ctc_fr_synth.npz"
+            if packaged.exists():
+                params = load_params(packaged)
         self.params = params
 
     # -- feature extraction -------------------------------------------------
@@ -124,7 +132,7 @@ class CTCAligner:
         return log_mel(x, self.sample_rate, n_fft=400, hop_length=self.hop, n_mels=self.n_mels)
 
     def init_params(self, rng=None):
-        rng = rng or jax.random.PRNGKey(0)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
         mel = jnp.zeros((100, self.n_mels))
         self.params = self.model.init(rng, mel)
         return self.params
@@ -204,5 +212,8 @@ def load_params(path: str | Path):
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(data[key])
+        v = data[key]
+        if np.issubdtype(v.dtype, np.floating):
+            v = v.astype(np.float32)  # checkpoints may be stored float16
+        node[parts[-1]] = jnp.asarray(v)
     return tree
