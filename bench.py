@@ -104,9 +104,19 @@ def _bucket_args(sig_list, T, rate, pp, jitter):
 
 
 def bench_measure() -> float:
-    """Headline: audio-hours/hour through the measure device program."""
+    """Headline: audio-hours/hour through the measure device program.
+
+    One FUSED dispatch per corpus iteration (prosody.measure.
+    measure_buckets_fused — all length buckets in one XLA program) and a
+    single checksum scalar drained per iteration: executable launches over
+    the v5e tunnel cost ~30 ms each and do not overlap, so per-bucket
+    dispatch + per-output reads measured the network, not the chip
+    (bucketed-async regime: 1185 audio-h/h; fused: see BENCH_r02)."""
     from prosody_control_french_tts_tpu.ops.pitch import PitchParams
-    from prosody_control_french_tts_tpu.prosody.measure import _measure_device, bucket_length
+    from prosody_control_french_tts_tpu.prosody.measure import (
+        bucket_length,
+        measure_buckets_fused,
+    )
 
     sigs, rate = _load_corpus()
     total_audio_s = sum(s.size for s in sigs) / rate
@@ -121,23 +131,24 @@ def bench_measure() -> float:
         [_bucket_args(v, T, rate, pp, 1e-6 * (k + 1)) for T, v in sorted(groups.items())]
         for k in range(iters + 1)
     ]
+    statics = [(kw["rate"], kw["T"], kw["T2"], kw["pp"]) for _, kw in arg_sets[0]]
 
-    # warmup/compile — must READ a value per bucket shape: on this runtime
-    # (axon tunnel, and this jax build generally) block_until_ready does NOT
-    # force compilation/execution of unconsumed results, so a block-only
-    # warmup leaves the compile inside the timed region.
-    for args, kw in arg_sets[-1]:
-        out = _measure_device(*args, **kw)
-        float(np.asarray(out[1])[0])
+    def fused(k):
+        return measure_buckets_fused([args for args, _ in arg_sets[k]], statics)
 
-    # Steady state: dispatch every bucket of every iteration asynchronously,
-    # then drain one scalar from each result (forces execution of all of
-    # them; per-call sync reads would serialize tunnel round-trips).
+    # warmup/compile — must READ a value: on this runtime (axon tunnel, and
+    # this jax build generally) block_until_ready does NOT force execution
+    # of unconsumed results, so a block-only warmup would leave the compile
+    # inside the timed region.
+    _, checksum = fused(iters)
+    float(checksum)
+
+    # Steady state: dispatch every iteration's fused program, then drain the
+    # per-iteration checksums (each depends on every output of its program,
+    # so reading it forces full execution; one scalar read per launch).
     t0 = time.perf_counter()
-    outs = []
-    for k in range(iters):
-        outs += [_measure_device(*args, **kw) for args, kw in arg_sets[k]]
-    sink = sum(float(np.asarray(out[1])[0]) for out in outs)
+    sinks = [fused(k)[1] for k in range(iters)]
+    sink = sum(float(s) for s in sinks)
     dt = time.perf_counter() - t0
     assert np.isfinite(sink)
 

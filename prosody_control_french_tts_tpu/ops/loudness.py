@@ -32,7 +32,7 @@ Code/audioPipeline.py:351-358).
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -96,10 +96,76 @@ def _next_pow2(n: int) -> int:
     return m
 
 
+# K-weighting implementation switch: "fir_mxu" runs the biquad cascade as
+# a truncated-FIR overlap-save Toeplitz matmul on the MXU (6-pass bf16
+# split), "fft" as the frequency-domain product; "auto" picks fir_mxu on
+# TPU (floor-free measurement at [10, 1M] samples on v5e: fft 14.4 ms,
+# fir bf16x6 ≈ 3.9 ms; 2-way splits are NOT enough here — the highpass
+# kernel's cancellation κ≈100 amplifies 2⁻¹⁶ to 2e-3) and fft elsewhere.
+KWEIGHT_IMPL = "auto"
+
+_FIR_TAPS = 2560  # |h| tail ≈ 6e-8 at 44.1 kHz (38 Hz pole, Q=0.5)
+_FIR_CHUNK = 1024
+
+
+def _kweight_mode() -> str:
+    if KWEIGHT_IMPL != "auto":
+        return KWEIGHT_IMPL
+    return "fir_mxu" if jax.default_backend() == "tpu" else "fft"
+
+
+@lru_cache(maxsize=4)
+def _fir_toeplitz(rate: float, taps: int = _FIR_TAPS, chunk: int = _FIR_CHUNK) -> np.ndarray:
+    """[chunk+taps-1, chunk] float32 Toeplitz operator of the cascade's
+    impulse response (float64 direct-form difference equation on the host;
+    y[c·C+j] = Σₖ h[k]·x[c·C+j−k] becomes window_c @ H)."""
+    (b1, a1), (b2, a2) = k_weighting_coeffs(rate)
+    h = np.zeros(taps, np.float64)
+    s1 = np.zeros(2)
+    s2 = np.zeros(2)
+    for n in range(taps):
+        xin = 1.0 if n == 0 else 0.0
+        y1 = b1[0] * xin + s1[0]
+        s1[0] = b1[1] * xin - a1[1] * y1 + s1[1]
+        s1[1] = b1[2] * xin - a1[2] * y1
+        y2 = b2[0] * y1 + s2[0]
+        s2[0] = b2[1] * y1 - a2[1] * y2 + s2[1]
+        s2[1] = b2[2] * y1 - a2[2] * y2
+        h[n] = y2
+    W = chunk + taps - 1
+    H = np.zeros((W, chunk), np.float64)
+    for j in range(chunk):
+        H[j : j + taps, j] = h[::-1]
+    return H.astype(np.float32)
+
+
+def _k_weight_fir(x: jnp.ndarray, rate: float, T: int) -> jnp.ndarray:
+    """Causal zero-state FIR filtering as overlap-save Toeplitz matmuls:
+    gather-free overlap framing (reshape + concat) feeds the MXU; no FFT,
+    no sequential IIR scan."""
+    from .precision import mm_split6
+
+    C, L = _FIR_CHUNK, _FIR_TAPS
+    Wd = C + L - 1
+    H = jnp.asarray(_fir_toeplitz(rate))
+    lead = x.shape[:-1]
+    a = x.reshape((-1, x.shape[-1])).astype(jnp.float32)
+    R, Ta = a.shape
+    nc = -(-Ta // C)
+    m = 1 + (-(-(L - 1) // C))  # chunks per window
+    xp = jnp.pad(a, ((0, 0), (L - 1, (nc - 1 + m) * C - (Ta + L - 1) + C)))
+    chunks = xp[:, : (nc - 1 + m) * C].reshape(R, nc - 1 + m, C)
+    rows = jnp.concatenate([chunks[:, j : j + nc] for j in range(m)], axis=-1)[:, :, :Wd]
+    y = mm_split6(rows.reshape(R * nc, Wd), H).reshape(R, nc * C)
+    return y[:, :Ta].reshape(lead + (Ta,))
+
+
 @partial(jax.jit, static_argnames=("rate", "num_samples"))
 def k_weight(x: jnp.ndarray, rate: float, num_samples: int | None = None) -> jnp.ndarray:
     """K-weighted signal, same shape as x ([..., T])."""
     T = int(x.shape[-1]) if num_samples is None else num_samples
+    if _kweight_mode() == "fir_mxu":
+        return _k_weight_fir(x, rate, T).astype(x.dtype)
     pad = 8192  # > 1000 decay constants of the 38 Hz pole
     nfft = _next_pow2(T + pad)
     H = jnp.asarray(_cascade_response(rate, nfft))

@@ -128,6 +128,62 @@ def _cos_lag_matrix(nfft: int, n_lags: int) -> np.ndarray:
     return C.astype(np.float32)
 
 
+# Spectrum implementation switch: "dft_mxu" computes the power spectrum and
+# the lag-restricted inverse transform as dense DFT matmuls on the MXU,
+# "rfft" uses the FFT; "auto" picks dft_mxu on TPU (measured floor-free on
+# v5e at the corpus bucket shape [23575, 880]: rfft+cosmat 12.2 ms vs
+# bf16x3-DFT 1.2 ms — XLA's TPU FFT cannot touch the systolic array) and
+# rfft elsewhere (CPU FFT beats dense matmuls at these sizes).
+SPECTRUM_IMPL = "auto"
+
+
+def _spectrum_mode() -> str:
+    if SPECTRUM_IMPL != "auto":
+        return SPECTRUM_IMPL
+    return "dft_mxu" if jax.default_backend() == "tpu" else "rfft"
+
+
+@_lru_cache(maxsize=8)
+def _dft_lag_matrices(W: int, n_lags: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Dense DFT operators for the MXU autocorrelation path.
+
+    Any transform length ≥ W + n_lags makes the circular correlation
+    linear; a matmul needs no power-of-two, so the length is the smallest
+    lane-aligned multiple of 256 — ~40 % fewer bins than the rfft path's
+    next_pow2(2W). Returns (Dc [W,K], Ds [W,K], M [K,n_lags], nfft_m),
+    all computed in float64 and rounded once to float32."""
+    nfft_m = ((W + n_lags + 255) // 256) * 256
+    K = nfft_m // 2 + 1
+    j = np.arange(W, dtype=np.float64)
+    k = np.arange(K, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(j, k) / nfft_m
+    Dc = np.cos(ang).astype(np.float32)
+    Ds = np.sin(ang).astype(np.float32)
+    tau = np.arange(n_lags, dtype=np.float64)
+    M = np.cos(2.0 * np.pi * np.outer(k, tau) / nfft_m) / nfft_m
+    M[1:-1] *= 2.0
+    return Dc, Ds, M.astype(np.float32), nfft_m
+
+
+@_lru_cache(maxsize=8)
+def _window_ac_ratio(W: int, n_lags: int) -> np.ndarray:
+    """ac_w(τ)/ac_w(0) of the Hanning analysis window, float64-exact (the
+    window is static per geometry, so this never needs device work)."""
+    win = _hanning(W).astype(np.float64)
+    nfft = 1
+    while nfft < W + n_lags:
+        nfft *= 2
+    ac = np.fft.irfft(np.abs(np.fft.rfft(win, n=nfft)) ** 2)[:n_lags]
+    return (ac / ac[0]).astype(np.float32)
+
+
+# 3-pass split-precision MXU matmul (ops.precision): ~16 mantissa bits —
+# measured ≤6e-4 of ac(0) on the corpus spectrum vs float64 (the DFT
+# contraction is well-conditioned), inside the 1e-3 Praat-parity budget,
+# at ~1/6 the cost of XLA's HIGHEST-precision f32 emulation.
+from .precision import mm_split3 as _mm_split3  # noqa: E402
+
+
 # ---------------------------------------------------------------------------
 # jitted core
 # ---------------------------------------------------------------------------
@@ -301,18 +357,26 @@ def _pitch_frames(x: jnp.ndarray, sr: float, num_samples: int, p: PitchParams, l
     local_peak = jnp.max(jnp.abs(frames) * lp_mask[None, :], axis=-1)
     intensity = jnp.minimum(local_peak / global_peak, 1.0)
 
-    # normalised autocorrelation: power spectrum via rfft, then the
-    # inverse transform restricted to the needed lags as one cosine
-    # matmul — the MXU beats a full irfft when only max_lag+2 of the
-    # nfft outputs are used (measured 0.063 s -> 0.039 s at the bench
-    # shape, max deviation 3e-4 of the ac peak)
-    nfft = g["nfft"]
+    # normalised autocorrelation, restricted to the needed max_lag+2 lags.
+    # On TPU the whole transform runs as three dense DFT matmuls on the
+    # MXU (power spectrum = (x·Dc)² + (x·Ds)², lag-restricted inverse =
+    # ·M), each a 3-pass bf16 split — 10.7× faster than the rfft+cosmat
+    # formulation at the corpus bucket shape (floor-free measurement:
+    # 12.2 ms → 1.2 ms for [23575, 880]). Off-TPU the rfft path remains.
+    # The window's own autocorrelation ratio is a host-side float64
+    # constant (it only depends on the static geometry).
     L_out = g["max_lag"] + 2
-    spec_pow = jnp.abs(jnp.fft.rfft(frames, n=nfft, axis=-1)) ** 2
-    cosmat = jnp.asarray(_cos_lag_matrix(nfft, L_out))
-    ac = spec_pow @ cosmat
-    ac_w = (jnp.abs(jnp.fft.rfft(win, n=nfft)) ** 2) @ cosmat
-    r = (ac / (ac[:, :1] + 1e-30)) / (ac_w[None, :] / (ac_w[0] + 1e-30))  # [F, L+2]
+    if _spectrum_mode() == "dft_mxu":
+        Dc, Ds, M, _ = _dft_lag_matrices(W, L_out)
+        u = _mm_split3(frames, jnp.asarray(Dc))
+        v = _mm_split3(frames, jnp.asarray(Ds))
+        ac = _mm_split3(u * u + v * v, jnp.asarray(M))
+    else:
+        nfft = g["nfft"]
+        spec_pow = jnp.abs(jnp.fft.rfft(frames, n=nfft, axis=-1)) ** 2
+        ac = spec_pow @ jnp.asarray(_cos_lag_matrix(nfft, L_out))
+    acw_ratio = jnp.asarray(_window_ac_ratio(W, L_out))
+    r = (ac / (ac[:, :1] + 1e-30)) / acw_ratio[None, :]  # [F, L+2]
 
     # voiced candidates: local maxima of r in (min_lag, max_lag)
     L = g["max_lag"] + 2
@@ -500,11 +564,43 @@ def _viterbi_parallel(freq: jnp.ndarray, strength: jnp.ndarray, intensity: jnp.n
     return jnp.where(v, f0, 0.0)
 
 
-# Production dispatch. Measured on v5e at corpus batch sizes the sequential
-# scan is ~3x faster than the associative-scan version (tiny per-step state
-# vs [F,K,K] HBM traffic); both are exact (tests assert equality). The
-# parallel variant wins only for very long single tracks — callers can pick.
-_viterbi = _viterbi_sequential
+# Production dispatch: the associative-scan (max,+) version on TPU, the
+# tiny-state lax.scan off it. Floor-free on-device repetition at the corpus
+# bucket shape ([5, 4715, 15] tracks, v5e) measures the parallel version at
+# 13.9 ms vs 43.9 ms sequential — ~10⁴ sequential scan steps cost far more
+# than log₂F passes of [F,K,K] VPU work. (An earlier measurement claiming
+# the opposite was polluted by the remote runtime's ~30 ms per-launch
+# latency floor.) Both are exact; tests assert equal tracks.
+def _viterbi(freq, strength, intensity, p: PitchParams, dt: float):
+    if jax.default_backend() == "tpu":
+        return _viterbi_parallel(freq, strength, intensity, p, dt)
+    return _viterbi_sequential(freq, strength, intensity, p, dt)
+
+
+def viterbi_batched(freq, strength, intensity, p: PitchParams, dt: float):
+    """Batched path finder over [S, F, K] tracks — the production entry.
+
+    On TPU this is the Pallas kernel (ops.viterbi_pallas): the whole DP
+    state lives in VMEM, one HBM pass per direction, and cost is constant
+    in S up to 16 segments per call (measured 13.6 ms vs 17.0 ms for the
+    vmapped associative scan at [5, 4715, 15] — and the gap widens with
+    batch size, since the scan's [F,K,K] HBM traffic is linear in S).
+    Off-TPU the tiny-state sequential scan wins and keeps bit-exact CPU
+    goldens. Multi-device programs (parallel.measure_sharded under GSPMD)
+    use the associative scan instead: it partitions along S automatically,
+    while a pallas_call has no SPMD partitioning rule."""
+    if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+        from .viterbi_pallas import SUB, viterbi_pallas_batched
+
+        S = freq.shape[0]
+        outs = [
+            viterbi_pallas_batched(
+                freq[i : i + SUB], strength[i : i + SUB], intensity[i : i + SUB], p, dt
+            )
+            for i in range(0, S, SUB)
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return jax.vmap(lambda f, s, i: _viterbi(f, s, i, p, dt))(freq, strength, intensity)
 
 
 def praat_pitch(
@@ -525,17 +621,17 @@ def praat_pitch(
     num_samples = int(x.shape[-1])
     g = _geometry(num_samples, sr, p)
 
-    def one(sig, length):
-        freq, strength, intensity, _ = _pitch_frames(sig, sr, num_samples, p, length)
-        return _viterbi(freq, strength, intensity, p, g["dt"])
-
     if batched:
         if lengths is None:
             lengths = jnp.full((x.shape[0],), num_samples, jnp.float32)
-        f0 = jax.vmap(one)(x, jnp.asarray(lengths, jnp.float32))
+        freq, strength, intensity, _ = jax.vmap(
+            lambda sig, length: _pitch_frames(sig, sr, num_samples, p, length)
+        )(x, jnp.asarray(lengths, jnp.float32))
+        f0 = viterbi_batched(freq, strength, intensity, p, g["dt"])
     else:
         length = None if lengths is None else jnp.asarray(lengths, jnp.float32)
-        f0 = one(x, length)
+        freq, strength, intensity, _ = _pitch_frames(x, sr, num_samples, p, length)
+        f0 = _viterbi(freq, strength, intensity, p, g["dt"])
     times = g["first_time"] + np.arange(g["n_frames"]) * g["dt"]
     return PitchTrack(f0=f0, times=times, dt=g["dt"])
 

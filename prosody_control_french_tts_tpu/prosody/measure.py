@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.loudness import k_weight, windowed_loudness, max_blocks_for, _gated_lufs  # noqa: F401
-from ..ops.pitch import PitchParams, _pitch_frames, _viterbi, _geometry, median_pitch_in_windows, PitchTrack
+from ..ops.pitch import PitchParams, _pitch_frames, _geometry, median_pitch_in_windows, PitchTrack, viterbi_batched
 from ..ops.rangemax import RangeMax
 from ..ssml.syntagme import Syntagme, extract_words_and_pauses, pipeline_syntagmes
 from ..utils import fr_pos
@@ -109,11 +109,10 @@ def _measure_device(
     """
     g = _geometry(T, rate, pp)
 
-    def pitch_one(sig, length):
-        freq, strength, intensity, _ = _pitch_frames(sig, rate, T, pp, length)
-        return _viterbi(freq, strength, intensity, pp, g["dt"])
-
-    f0 = jax.vmap(pitch_one)(nat, nat_len.astype(jnp.float32))  # [S, F]
+    freq, strength, intensity, _ = jax.vmap(
+        lambda sig, length: _pitch_frames(sig, rate, T, pp, length)
+    )(nat, nat_len.astype(jnp.float32))
+    f0 = viterbi_batched(freq, strength, intensity, pp, g["dt"])  # [S, F]
     times = g["first_time"] + np.arange(g["n_frames"]) * g["dt"]  # host constants
 
     # syntagme-window pitch medians (seconds)
@@ -157,6 +156,45 @@ def _measure_device(
         l_nat_syn, l_nat_seg = lufs_for(nat, nat_len, win_nat, T)
         l_raw_syn, l_raw_seg = lufs_for(raw, raw_len, win_raw, T2)
     return p_syn, p_seg, l_nat_syn, l_nat_seg, l_raw_syn, l_raw_seg
+
+
+_FUSED_CACHE: dict = {}
+
+
+def measure_buckets_fused(arg_sets, statics):
+    """ONE device dispatch for several length buckets.
+
+    arg_sets: list of 7-tuples (nat, nat_len, raw, raw_len, win_nat,
+    win_raw, mask); statics: matching list of (rate, T, T2, pp).
+
+    Per-bucket dispatch is the right shape on a local chip (launches cost
+    ~50 µs and overlap), but on remote runtimes every executable launch is
+    a network round trip (~30 ms measured on the v5e tunnel) and launches
+    do NOT overlap — an N-bucket corpus pays N floors. Fusing the buckets
+    into one XLA program pays the launch once; XLA schedules the
+    per-bucket subgraphs back-to-back on device.
+
+    Returns (outs, checksum): outs is a tuple of per-bucket 6-tuples
+    (the _measure_device outputs), checksum a scalar that depends on every
+    output — reading it forces the whole program (on this runtime,
+    block_until_ready does not force execution of unconsumed results;
+    see CLAUDE.md).
+    """
+    key = tuple(statics)
+    fn = _FUSED_CACHE.get(key)
+    if fn is None:
+
+        def impl(*flat):
+            outs = []
+            for i, (rate, T, T2, pp) in enumerate(key):
+                outs.append(_measure_device(*flat[7 * i : 7 * i + 7], rate=rate, T=T, T2=T2, pp=pp))
+            checksum = sum(jnp.sum(jnp.nan_to_num(o, posinf=1.0, neginf=-1.0)) for out in outs for o in out)
+            return tuple(outs), checksum
+
+        fn = jax.jit(impl)
+        _FUSED_CACHE[key] = fn
+    flat = [jnp.asarray(x) for s in arg_sets for x in s]
+    return fn(*flat)
 
 
 # ---------------------------------------------------------------------------
@@ -528,7 +566,17 @@ def measure_voices_batched(
     for name, prep in preps.items():
         groups.setdefault((prep.nat.shape[1], int(prep.rate)), {})[name] = prep
 
-    dispatched = [_dispatch_group(list(sub.items()), pp) for sub in groups.values()]
+    if len(groups) > 1:
+        # several length buckets → ONE fused device program (one launch;
+        # launches don't overlap on remote runtimes — see measure_buckets_fused)
+        group_items = [list(sub.items()) for sub in groups.values()]
+        packed = [_group_args(items) for items in group_items]
+        outs, _ = measure_buckets_fused(
+            [args for args, _ in packed], [st + (pp,) for _, st in packed]
+        )
+        dispatched = list(zip(group_items, outs))
+    else:
+        dispatched = [_dispatch_group(list(sub.items()), pp) for sub in groups.values()]
     results: dict[str, MeasureResult] = {}
     for items, lazy in dispatched:
         out = tuple(np.asarray(o) for o in lazy)  # drain (forces execution)
@@ -549,20 +597,9 @@ def measure_voices_batched(
     return results
 
 
-def _dispatch_group(items, pp: PitchParams):
-    """Launch one bucket group's device program without reading results:
-    returns (items, lazy device outputs)."""
-    if len(items) == 1:
-        prep = items[0][1]
-        lazy = _measure_device(
-            jnp.asarray(prep.nat), jnp.asarray(prep.nat_len),
-            jnp.asarray(prep.raw_for_device), jnp.asarray(prep.raw_len_dev),
-            jnp.asarray(prep.win_nat), jnp.asarray(prep.win_raw_dev), jnp.asarray(prep.mask),
-            rate=float(prep.rate), T=int(prep.nat.shape[1]),
-            T2=int(prep.raw_for_device.shape[1]), pp=pp,
-        )
-        return items, lazy
-
+def _group_args(items):
+    """Pack one bucket group's voices into the 7 concatenated device arrays
+    + the static (rate, T, T2) key (shared by per-group and fused dispatch)."""
     rate = items[0][1].rate
     assert all(p.rate == rate for _, p in items), "bucket group mixes sample rates"
     T = max(p.nat.shape[1] for _, p in items)
@@ -587,10 +624,25 @@ def _dispatch_group(items, pp: PitchParams):
     win_nat = np.concatenate([padN(p.win_nat, N) for _, p in items])
     win_raw = np.concatenate([padN(p.win_raw_dev, N) for _, p in items])
     mask = np.concatenate([padN(p.mask, N) for _, p in items])
+    return (nat, nat_len, raw, raw_len, win_nat, win_raw, mask), (float(rate), T, T2)
 
+
+def _dispatch_group(items, pp: PitchParams):
+    """Launch one bucket group's device program without reading results:
+    returns (items, lazy device outputs)."""
+    if len(items) == 1:
+        prep = items[0][1]
+        lazy = _measure_device(
+            jnp.asarray(prep.nat), jnp.asarray(prep.nat_len),
+            jnp.asarray(prep.raw_for_device), jnp.asarray(prep.raw_len_dev),
+            jnp.asarray(prep.win_nat), jnp.asarray(prep.win_raw_dev), jnp.asarray(prep.mask),
+            rate=float(prep.rate), T=int(prep.nat.shape[1]),
+            T2=int(prep.raw_for_device.shape[1]), pp=pp,
+        )
+        return items, lazy
+
+    args, (rate, T, T2) = _group_args(items)
     lazy = _measure_device(
-        jnp.asarray(nat), jnp.asarray(nat_len), jnp.asarray(raw), jnp.asarray(raw_len),
-        jnp.asarray(win_nat), jnp.asarray(win_raw), jnp.asarray(mask),
-        rate=float(rate), T=T, T2=T2, pp=pp,
+        *(jnp.asarray(a) for a in args), rate=rate, T=T, T2=T2, pp=pp
     )
     return items, lazy

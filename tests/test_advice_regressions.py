@@ -206,17 +206,19 @@ class TestMixedRateBatching:
         assert preps["v44"].rate != preps["v16"].rate
         assert preps["v44"].nat.shape[1] == preps["v16"].nat.shape[1]  # same bucket T
 
+        # the two rates must reach the (fused multi-bucket) device dispatch
+        # as SEPARATE groups with their own static rates
         calls = []
-        orig = M._dispatch_group
+        orig = M.measure_buckets_fused
 
-        def spy(items, pp):
-            calls.append([n for n, _ in items])
-            return orig(items, pp)
+        def spy(arg_sets, statics):
+            calls.append([st[0] for st in statics])
+            return orig(arg_sets, statics)
 
-        M._dispatch_group, saved = spy, orig
+        M.measure_buckets_fused, saved = spy, orig
         try:
             res = M.measure_voices_batched(preps, settings)
         finally:
-            M._dispatch_group = saved
-        assert sorted(map(tuple, calls)) == [("v16",), ("v44",)]
+            M.measure_buckets_fused = saved
+        assert calls and sorted(calls[0]) == [16000.0, 44100.0]
         assert set(res) == {"v16", "v44"}

@@ -95,7 +95,7 @@ class TestPitch:
             PitchParams,
             _geometry,
             _pitch_frames,
-            _viterbi,
+            _viterbi_parallel,
             _viterbi_sequential,
         )
         import jax.numpy as jnp
@@ -106,8 +106,86 @@ class TestPitch:
         g = _geometry(len(x), SR, pp)
         freq, strength, inten, _ = _pitch_frames(jnp.asarray(x, jnp.float32), SR, len(x), pp)
         f_seq = np.asarray(_viterbi_sequential(freq, strength, inten, pp, g["dt"]))
-        f_par = np.asarray(_viterbi(freq, strength, inten, pp, g["dt"]))
+        f_par = np.asarray(_viterbi_parallel(freq, strength, inten, pp, g["dt"]))
         np.testing.assert_array_equal(f_seq, f_par)
+
+    def test_pallas_viterbi_matches_sequential(self, rng):
+        """The TPU production path finder (ops.viterbi_pallas: VMEM-
+        resident batched DP, forward/backward passes) must reproduce the
+        sequential scan's tracks (interpret mode on CPU)."""
+        import jax
+
+        from prosody_control_french_tts_tpu.ops.pitch import (
+            PitchParams,
+            _geometry,
+            _pitch_frames,
+            _viterbi_sequential,
+        )
+        from prosody_control_french_tts_tpu.ops.viterbi_pallas import viterbi_pallas_batched
+
+        pp = PitchParams()
+        dur = 1.1
+        t = np.arange(int(SR * dur)) / SR
+        sigs = []
+        for f in (170.0, 230.0, 320.0):
+            x = 0.5 * np.sin(2 * np.pi * f * t) + 0.2 * np.sin(4 * np.pi * f * t)
+            x = x + 0.05 * rng.normal(size=t.size)
+            x[: SR // 5] = 0.0
+            sigs.append(x.astype(np.float32))
+        X = jnp.asarray(np.stack(sigs))
+        g = _geometry(X.shape[1], SR, pp)
+        freq, stren, inten, _ = jax.vmap(
+            lambda a: _pitch_frames(a, SR, X.shape[1], pp)
+        )(X)
+        f_seq = np.asarray(
+            jax.vmap(lambda f, s, i: _viterbi_sequential(f, s, i, pp, g["dt"]))(freq, stren, inten)
+        )
+        f_pal = np.asarray(
+            viterbi_pallas_batched(freq, stren, inten, pp, g["dt"], interpret=True)
+        )
+        np.testing.assert_array_equal(f_seq, f_pal)
+
+    def test_mxu_spectrum_matches_rfft_path(self, corpus_wavs):
+        """The TPU production spectrum (3-pass bf16 DFT matmuls,
+        ops.pitch._dft_lag_matrices/_mm_split3) must reproduce the rfft
+        path's pitch tracks on real speech within the 1e-3 parity budget."""
+        import jax.numpy as jnp
+
+        from prosody_control_french_tts_tpu.ops import pitch as P
+        from prosody_control_french_tts_tpu.utils.wavio import read_wav
+
+        a = read_wav(corpus_wavs[0]).to_mono()
+        x = np.asarray(a.samples, np.float32)[: int(a.rate * 8)]
+        old = P.SPECTRUM_IMPL
+        try:
+            P.SPECTRUM_IMPL = "rfft"
+            f_ref = np.asarray(P.praat_pitch(x, a.rate).f0)
+            P.SPECTRUM_IMPL = "dft_mxu"
+            P._pitch_frames.clear_cache()
+            f_mxu = np.asarray(P.praat_pitch(x, a.rate).f0)
+        finally:
+            P.SPECTRUM_IMPL = old
+            P._pitch_frames.clear_cache()
+        both = (f_ref > 0) & (f_mxu > 0)
+        # voicing decisions may flip on a handful of borderline frames
+        assert np.mean((f_ref > 0) != (f_mxu > 0)) < 0.02
+        assert both.sum() > 50
+        rel = np.abs(f_mxu[both] - f_ref[both]) / f_ref[both]
+        assert np.quantile(rel, 0.99) < 1e-3, float(np.quantile(rel, 0.99))
+        # the headline statistic, median F0 over voiced frames, must agree
+        med_ref = np.median(f_ref[f_ref > 0])
+        med_mxu = np.median(f_mxu[f_mxu > 0])
+        assert abs(med_mxu - med_ref) / med_ref < 1e-3
+
+    def test_mm_split3_accuracy(self, rng):
+        from prosody_control_french_tts_tpu.ops.pitch import _mm_split3
+
+        a = rng.normal(size=(64, 880)).astype(np.float32)
+        b = rng.normal(size=(880, 256)).astype(np.float32)
+        got = np.asarray(_mm_split3(jnp.asarray(a), jnp.asarray(b)))
+        ref = a.astype(np.float64) @ b.astype(np.float64)
+        scale = np.max(np.abs(ref))
+        assert np.max(np.abs(got - ref)) / scale < 2e-5
 
     def test_median_in_windows(self):
         x = np.concatenate([tone(200.0, 0.5), tone(400.0, 0.5)])
@@ -181,6 +259,58 @@ class TestLoudness:
             max_blocks=max_blocks_for(sr, sr),
         )
         assert not bool(valid[0])
+
+
+class TestKWeightFIR:
+    def test_fir_matches_fft_and_lfilter(self, rng):
+        """The TPU production K-weighting (truncated-FIR Toeplitz matmul,
+        6-pass bf16 split) must match the fft path and scipy's zero-state
+        lfilter within float32-grade error."""
+        from prosody_control_french_tts_tpu.ops import loudness as LO
+
+        x = rng.normal(size=(2, 70000)).astype(np.float32) * 0.2
+        rate = 44100.0
+        old = LO.KWEIGHT_IMPL
+        try:
+            LO.KWEIGHT_IMPL = "fft"
+            y_fft = np.asarray(LO.k_weight(jnp.asarray(x), rate, num_samples=70000))
+            LO.KWEIGHT_IMPL = "fir_mxu"
+            LO.k_weight.clear_cache()
+            y_fir = np.asarray(LO.k_weight(jnp.asarray(x), rate, num_samples=70000))
+        finally:
+            LO.KWEIGHT_IMPL = old
+            LO.k_weight.clear_cache()
+        (b1, a1), (b2, a2) = LO.k_weighting_coeffs(rate)
+        ref = lfilter(b2, a2, lfilter(b1, a1, x.astype(np.float64), axis=-1), axis=-1)
+        scale = np.max(np.abs(ref))
+        assert np.max(np.abs(y_fft - ref)) / scale < 1e-5
+        assert np.max(np.abs(y_fir - ref)) / scale < 1e-5
+        # end-to-end LUFS parity between the two implementations
+        l_fft = 10 * np.log10(np.mean(y_fft**2, axis=-1))
+        l_fir = 10 * np.log10(np.mean(y_fir**2, axis=-1))
+        assert np.max(np.abs(l_fft - l_fir)) < 1e-4
+
+    def test_fir_tail_negligible(self):
+        from prosody_control_french_tts_tpu.ops.loudness import _fir_toeplitz, _FIR_TAPS
+
+        H = _fir_toeplitz(44100.0)
+        # first column of the Toeplitz block holds h reversed
+        h = H[: _FIR_TAPS, 0][::-1]
+        assert abs(h[-1]) < 1e-6
+        H16 = _fir_toeplitz(16000.0)
+        assert abs(H16[: _FIR_TAPS, 0][::-1][-1]) < 1e-6
+
+    def test_mm_split6_beats_split3_on_cancelling_kernel(self, rng):
+        from prosody_control_french_tts_tpu.ops.precision import mm_split3, mm_split6
+
+        a = rng.normal(size=(32, 2048)).astype(np.float32)
+        b = np.sin(np.arange(2048 * 64).reshape(2048, 64) * 2.1).astype(np.float32)
+        ref = a.astype(np.float64) @ b.astype(np.float64)
+        scale = np.max(np.abs(ref))
+        e3 = np.max(np.abs(np.asarray(mm_split3(jnp.asarray(a), jnp.asarray(b))) - ref)) / scale
+        e6 = np.max(np.abs(np.asarray(mm_split6(jnp.asarray(a), jnp.asarray(b))) - ref)) / scale
+        assert e6 < 3e-6
+        assert e6 < e3
 
 
 class TestSilence:
