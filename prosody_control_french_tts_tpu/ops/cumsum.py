@@ -15,7 +15,10 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-CHUNK = 1024
+# 2048, NOT 1024: this jax/libtpu's cumsum lowering has a pathological
+# slow path exactly at minor-axis width 1024 (measured 12 ms for a
+# [10, 1017, 1024] in-chunk cumsum vs 0.3-0.7 ms at widths 512/2048/4096)
+CHUNK = 2048
 
 
 @jax.tree_util.register_pytree_node_class

@@ -236,18 +236,66 @@ def windowed_loudness(
     """
     from .cumsum import ChunkedCumsum
 
-    cs = ChunkedCumsum.build(jnp.square(x.astype(jnp.float32)))
+    x2 = jnp.square(x.astype(jnp.float32))
     dur = ends - starts
     nblocks = _num_blocks(dur.astype(jnp.float32), rate)
-    # block spans, clamped to the window end as well as the signal end
-    j = jnp.arange(max_blocks)
-    lo_off = jnp.floor(BLOCK_SECONDS * rate * (1.0 - OVERLAP) * j).astype(jnp.int32)
-    hi_off = jnp.floor(BLOCK_SECONDS * rate * ((1.0 - OVERLAP) * j + 1.0)).astype(jnp.int32)
     T = x.shape[-1]
-    lo = jnp.clip(starts[..., None] + lo_off, 0, T)
-    hi = jnp.minimum(jnp.clip(starts[..., None] + hi_off, 0, T), ends[..., None])
-    hi = jnp.maximum(hi, lo)
-    z = cs.range_sum(lo, hi) / (BLOCK_SECONDS * rate)
+    G = BLOCK_SECONDS * rate * (1.0 - OVERLAP)  # block stride in samples
+    if float(G).is_integer():
+        # Grid-cumsum formulation (all standard rates: G integer). The
+        # gather formulation below costs ~50 ns/element on TPU and needs
+        # 4·mb lookups per window (measured 17 ms of the 50 ms measure
+        # program at corpus shape). Every block edge sits on start + G·m,
+        # so per window the needed cumsum values C(start + G·m) form a
+        # CONTIGUOUS run in a (phase-major, block-minor) transposed table:
+        # C(G·q + g) = W2T[g, q], and with a flattened [G·nq] layout the
+        # run is one dynamic slice of mb+5 elements — sequential DMA
+        # instead of scattered lookups. Parity: C is nondecreasing, so
+        # clamping block ends to the window end equals min-capping in
+        # cumsum space: z[j] = f(j+4) − f(j), f(i) = min(C(start+G·i) −
+        # C(start), C(end) − C(start)).
+        Gi = int(G)
+        mb5 = max_blocks + 5
+        flat_x = x2.reshape((-1, T))
+        R = flat_x.shape[0]
+        nq = T // Gi + 1
+        stride = nq + mb5
+        xq = jnp.pad(flat_x, ((0, 0), (0, nq * Gi - T))).reshape(R, nq, Gi)
+        bsum = xq.sum(axis=-1)
+        W = jnp.cumsum(xq, axis=-1) - xq  # exclusive within-block
+        Cg = jnp.cumsum(bsum, axis=-1) - bsum  # exclusive block prefix
+        W2T = jnp.swapaxes(W + Cg[..., None], -1, -2)  # [R, Gi, nq]: C(Gi·q+g)
+        total = Cg[:, -1] + bsum[:, -1]
+        # extend the block axis so q0+m stays in range; C is flat past T
+        ext = jnp.broadcast_to(total[:, None, None], (R, Gi, mb5))
+        table = jnp.concatenate([W2T, ext], axis=-1).reshape(R, Gi * stride)
+
+        st = jnp.clip(starts.reshape((R, -1)), 0, T)
+        en = jnp.clip(ends.reshape((R, -1)), 0, T)
+        base = (st % Gi) * stride + st // Gi
+
+        def slice_at(row, b, n):
+            return jax.lax.dynamic_slice(row, (b,), (n,))
+
+        sl = jax.vmap(lambda row, bs: jax.vmap(lambda b: slice_at(row, b, mb5))(bs))(table, base)
+        s_all = sl - sl[..., :1]  # C(start + G·m) − C(start)
+        # C(end) from the same table (single element per window)
+        e_base = (en % Gi) * stride + en // Gi
+        ce = jax.vmap(lambda row, bs: jax.vmap(lambda b: slice_at(row, b, 1))(bs))(table, e_base)
+        e_rel = ce[..., 0] - sl[..., 0]
+        f = jnp.minimum(s_all, e_rel[..., None])  # [R, N, mb+5]
+        z = (f[..., 4 : 4 + max_blocks] - f[..., :max_blocks]) / (BLOCK_SECONDS * rate)
+        z = z.reshape(starts.shape + (max_blocks,))
+    else:
+        cs = ChunkedCumsum.build(x2)
+        # block spans, clamped to the window end as well as the signal end
+        j = jnp.arange(max_blocks)
+        lo_off = jnp.floor(G * j).astype(jnp.int32)
+        hi_off = jnp.floor(BLOCK_SECONDS * rate * ((1.0 - OVERLAP) * j + 1.0)).astype(jnp.int32)
+        lo = jnp.clip(starts[..., None] + lo_off, 0, T)
+        hi = jnp.minimum(jnp.clip(starts[..., None] + hi_off, 0, T), ends[..., None])
+        hi = jnp.maximum(hi, lo)
+        z = cs.range_sum(lo, hi) / (BLOCK_SECONDS * rate)
     gain_db = -20.0 * jnp.log10(jnp.maximum(peaks, 1e-30))
     lufs = _gated_lufs(z, nblocks, gain_db)
     return lufs, nblocks > 0

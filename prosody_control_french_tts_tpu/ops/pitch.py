@@ -386,7 +386,7 @@ def _pitch_frames(x: jnp.ndarray, sr: float, num_samples: int, p: PitchParams, l
     r_p1 = jnp.concatenate([r[:, 1:], r[:, -1:]], axis=-1)
     is_max = (r > r_m1) & (r >= r_p1) & (r > 0.5 * p.voicing_threshold) & interior[None, :]
     score = jnp.where(is_max, r, -jnp.inf)
-    top_val, top_lag = jax.lax.top_k(score, K - 1)  # [F, K-1]
+    top_val, top_lag = _top_k(score, K - 1)  # [F, K-1]
     valid = jnp.isfinite(top_val)
 
     # parabolic interpolation around each selected lag
@@ -425,6 +425,27 @@ def _pitch_frames(x: jnp.ndarray, sr: float, num_samples: int, p: PitchParams, l
     freq = jnp.concatenate([jnp.zeros((F, 1), freq.dtype), freq], axis=-1)
     strength = jnp.concatenate([jnp.zeros((F, 1), strength.dtype), strength], axis=-1)
     return freq, strength, intensity, frame_valid
+
+
+def _top_k(score: jnp.ndarray, k: int):
+    """top-k along the last axis with lax.top_k semantics (descending,
+    first index on ties). On TPU, k rounds of masked argmax beat the
+    top_k lowering for small k over a few hundred lags (k passes of
+    cheap VPU reductions instead of a sort network); off-TPU lax.top_k
+    stays. Both produce identical results — argmax and top_k share the
+    first-index tie rule."""
+    if jax.default_backend() != "tpu" or k > 16:
+        return jax.lax.top_k(score, k)
+    lanes = jnp.arange(score.shape[-1])
+    cur = score
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1)
+        v = jnp.take_along_axis(cur, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i)
+        cur = jnp.where(lanes == i[..., None], -jnp.inf, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
 
 
 def _viterbi_inputs(freq, strength, intensity, p: PitchParams, dt: float):
@@ -636,15 +657,55 @@ def praat_pitch(
     return PitchTrack(f0=f0, times=times, dt=g["dt"])
 
 
+def _f32_sortable_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """float32 → uint32 whose unsigned order equals the float total order
+    (negatives bit-complemented, positives sign-flipped)."""
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    neg = b >> 31 == 1
+    return jnp.where(neg, ~b, b | jnp.uint32(0x80000000))
+
+
+def _bits_to_f32(u: jnp.ndarray) -> jnp.ndarray:
+    neg = u >> 31 == 0
+    b = jnp.where(neg, ~u, u & jnp.uint32(0x7FFFFFFF))
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def _masked_kth_bits(u: jnp.ndarray, mask: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Exact k-th (0-based) smallest masked element of u [..., F] per row,
+    by 32-round MSB-first binary search on the value bits: the smallest v
+    with count(u ≤ v) ≥ k+1 — no sort, 32 cheap masked reductions."""
+    v = jnp.zeros(u.shape[:-1], jnp.uint32)
+    for b in range(31, -1, -1):
+        cand = v | jnp.uint32((1 << b) - 1)
+        cnt = jnp.sum(mask & (u <= cand[..., None]), axis=-1)
+        v = jnp.where(cnt >= k + 1, v, v | jnp.uint32(1 << b))
+    return v
+
+
 def masked_median(values: jnp.ndarray, mask: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Median over masked entries, matching ``np.median`` (mean of the two
     middle order statistics for even counts). Returns 0 where the mask is
     empty — the reference's "no voiced frames" convention
-    (Code/audioPipeline.py:335)."""
+    (Code/audioPipeline.py:335).
+
+    On TPU the two order statistics come from an exact bitwise binary
+    search (64 masked reductions) instead of ``jnp.sort`` — sorting a
+    [S, N, F] window tensor is one of the measure program's slowest
+    non-MXU ops. Results are identical (the search finds exact element
+    values); CPU keeps the sort."""
+    n = jnp.sum(mask, axis=axis)
+    if jax.default_backend() == "tpu" and (axis == -1 or axis == values.ndim - 1):
+        u = _f32_sortable_bits(jnp.where(mask, values, 0.0))
+        lo = jnp.maximum((n - 1) // 2, 0)
+        hi = jnp.maximum(n // 2, 0)
+        lo_v = _bits_to_f32(_masked_kth_bits(u, mask, lo))
+        hi_v = _bits_to_f32(_masked_kth_bits(u, mask, hi))
+        med = 0.5 * (lo_v + hi_v)
+        return jnp.where(n > 0, med, 0.0)
     big = jnp.float32(3.4e38)
     v = jnp.where(mask, values, big)
     v = jnp.sort(v, axis=axis)
-    n = jnp.sum(mask, axis=axis)
     lo = jnp.maximum((n - 1) // 2, 0)
     hi = jnp.maximum(n // 2, 0)
     lo_v = jnp.take_along_axis(v, lo[..., None], axis=axis)[..., 0]

@@ -109,6 +109,34 @@ class TestBert:
         v = enc.apply(params, ids, mask)
         assert abs(float(jnp.linalg.norm(v[0])) - 1.0) < 1e-4
 
+    def test_sentence_encoder_transformer_contract(self, tok):
+        """Contract invariants shared with the reference's downloaded
+        all-mpnet-base-v2 (bilstm.py:12-13), the properties the BiLSTM
+        consumer depends on — the hermetic substitution must honor them
+        even though absolute embedding values necessarily differ:
+        padding-invariance of the pooled vector, determinism, word-order
+        sensitivity, and content discrimination."""
+        cfg = BertConfig.tiny(vocab_size=len(tok))
+        enc = SentenceEncoder(cfg)
+        base = [tok.cls_id, 7, 8, 9, tok.sep_id]
+        ids_a = jnp.asarray([base + [tok.pad_id] * 11])
+        ids_b = jnp.asarray([base + [tok.pad_id] * 27])  # more padding
+        params = enc.init(jax.random.PRNGKey(0), ids_a, ids_a != tok.pad_id)
+        va = enc.apply(params, ids_a, ids_a != tok.pad_id)
+        vb = enc.apply(params, ids_b, ids_b != tok.pad_id)
+        assert float(jnp.max(jnp.abs(va - vb))) < 1e-4, "padding must not leak"
+        # determinism
+        va2 = enc.apply(params, ids_a, ids_a != tok.pad_id)
+        assert float(jnp.max(jnp.abs(va - va2))) == 0.0
+        # word order changes the embedding (positional encoding active)
+        ids_sw = jnp.asarray([[tok.cls_id, 9, 8, 7, tok.sep_id] + [tok.pad_id] * 11])
+        vsw = enc.apply(params, ids_sw, ids_sw != tok.pad_id)
+        assert float(jnp.dot(va[0], vsw[0])) < 0.999
+        # different content is further away than identical content
+        ids_c = jnp.asarray([[tok.cls_id, 11, 12, 13, tok.sep_id] + [tok.pad_id] * 11])
+        vc = enc.apply(params, ids_c, ids_c != tok.pad_id)
+        assert float(jnp.dot(va[0], vc[0])) < 1.0 - 1e-4
+
 
 class TestBiLSTM:
     def test_shapes(self):

@@ -177,6 +177,54 @@ class TestPitch:
         med_mxu = np.median(f_mxu[f_mxu > 0])
         assert abs(med_mxu - med_ref) / med_ref < 1e-3
 
+    def test_bitsearch_median_matches_sort(self, rng):
+        """The TPU sort-free masked median (exact bitwise order-statistic
+        search) must equal the sort-based path, including negatives, ties
+        and empty masks."""
+        from prosody_control_french_tts_tpu.ops.pitch import (
+            _bits_to_f32,
+            _f32_sortable_bits,
+            _masked_kth_bits,
+        )
+
+        vals = np.round(rng.normal(size=(6, 9, 57)) * 50, 1).astype(np.float32)  # many ties
+        mask = rng.random((6, 9, 57)) > 0.3
+        mask[0, 0] = False  # empty-mask row
+        n = mask.sum(-1)
+        u = _f32_sortable_bits(jnp.asarray(np.where(mask, vals, 0.0)))
+        for which in ("lo", "hi"):
+            k = np.maximum((n - 1) // 2 if which == "lo" else n // 2, 0)
+            got = np.asarray(_bits_to_f32(_masked_kth_bits(u, jnp.asarray(mask), jnp.asarray(k))))
+            for i in range(vals.shape[0]):
+                for j in range(vals.shape[1]):
+                    if n[i, j] == 0:
+                        continue
+                    expect = np.sort(vals[i, j][mask[i, j]])[k[i, j]]
+                    assert got[i, j] == expect, (i, j, which, got[i, j], expect)
+
+    def test_top_k_iterative_matches_lax(self, rng):
+        import jax
+
+        score = rng.normal(size=(40, 297)).astype(np.float32)
+        score[rng.random((40, 297)) > 0.2] = -np.inf  # sparse maxima + ties at -inf
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(score), 14)
+        # force the iterative branch (backend-gated in production)
+        lanes = jnp.arange(score.shape[-1])
+        cur = jnp.asarray(score)
+        vals, idxs = [], []
+        for _ in range(14):
+            i = jnp.argmax(cur, axis=-1)
+            v = jnp.take_along_axis(cur, i[..., None], axis=-1)[..., 0]
+            vals.append(v)
+            idxs.append(i)
+            cur = jnp.where(lanes == i[..., None], -jnp.inf, cur)
+        got_v = np.asarray(jnp.stack(vals, -1))
+        got_i = np.asarray(jnp.stack(idxs, -1))
+        np.testing.assert_array_equal(np.asarray(ref_v), got_v)
+        # indices may differ only where values are -inf (ties among absent maxima)
+        finite = np.isfinite(got_v)
+        np.testing.assert_array_equal(np.asarray(ref_i)[finite], got_i[finite])
+
     def test_mm_split3_accuracy(self, rng):
         from prosody_control_french_tts_tpu.ops.pitch import _mm_split3
 
