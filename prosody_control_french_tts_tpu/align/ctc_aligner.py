@@ -111,7 +111,14 @@ class CTCAligner:
         self.frame_dt = self.hop / sample_rate * 2.0
         if weights_path is not None:
             params = load_params(weights_path)
-        elif params is None and dim == 128 and layers == 2 and vocab is None:
+        elif (
+            params is None
+            and dim == 128
+            and layers == 2
+            and vocab is None
+            and sample_rate == 16000
+            and n_mels == 80
+        ):
             # out-of-the-box default: the packaged checkpoint pretrained on
             # compositional synthetic French speech (align/pretrain_ctc.py)
             # — the role MFA/NeMo pretrained models play for the reference.

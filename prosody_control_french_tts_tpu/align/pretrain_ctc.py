@@ -45,10 +45,11 @@ log = logging.getLogger(__name__)
 
 PACKAGED_WEIGHTS = Path(__file__).parent / "pretrained" / "ctc_fr_synth.npz"
 
-# mel frame i (n_fft=400, hop=160) is centred at i·hop + n_fft/2 samples;
-# the stride-2 conv pools mel frames 2j, 2j+1 → encoder frame centre:
+# mel frame i (n_fft=400, hop=160) is centred at i·160 + 200 samples; the
+# stride-2 conv pools mel frames 2j, 2j+1, so encoder frame j is centred
+# at ((2j·160+200) + ((2j+1)·160+200))/2 = 320j + 280 samples:
 _ENC_HOP_S = 0.02
-_ENC_OFFSET_S = (160 + 200) / 16000.0  # 22.5 ms
+_ENC_OFFSET_S = 280 / 16000.0  # 17.5 ms
 
 
 def _frame_targets(char_spans, n_enc_frames: int, vocab) -> np.ndarray:

@@ -172,18 +172,27 @@ def sentences_per_second(model, params, ds: BreakTagDataset, batch_size: int = 2
     # the whole iteration loop lives on-device (lax.scan, one dispatch, one
     # scalar back): per-iteration host reads — or even per-iteration
     # dispatches — would measure link latency instead of inference
-    # throughput (the bench chip sits behind a network tunnel)
+    # throughput (the bench chip sits behind a network tunnel).
+    # Elision/DCE guards: each scan step's token ids differ (shift mixes
+    # the step index into every row), the accumulator sums the WHOLE
+    # output (keeping every batch row live — a single-element read would
+    # let XLA slice the batch), and the timed call's `shift` argument
+    # differs from the warmup's (identical arg objects can be served from
+    # cache on this runtime, see CLAUDE.md).
+    V = int(getattr(model.cfg, "vocab_size", 0)) or int(jnp.max(ids)) + 1
+
     @jax.jit
-    def run(p, ids, mask):
+    def run(p, ids, mask, shift):
         def body(acc, i):
-            out = model.apply(p, jnp.roll(ids, i + 1, axis=0), mask)
-            return acc + out[0, 0, 0].astype(jnp.float32), None
+            step_ids = jnp.where(mask, (ids + i + shift) % V, ids)
+            out = model.apply(p, step_ids, mask)
+            return acc + jnp.sum(out).astype(jnp.float32), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
         return acc
 
-    float(np.asarray(run(params, ids, mask)))  # compile + warm
+    float(np.asarray(run(params, ids, mask, jnp.int32(0))))  # compile + warm
     t0 = time.perf_counter()
-    acc = float(np.asarray(run(params, ids, mask)))
+    acc = float(np.asarray(run(params, ids, mask, jnp.int32(1))))
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)
     return batch_size * iters / dt

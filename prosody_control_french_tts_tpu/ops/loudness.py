@@ -255,7 +255,12 @@ def windowed_loudness(
         # cumsum space: z[j] = f(j+4) − f(j), f(i) = min(C(start+G·i) −
         # C(start), C(end) − C(start)).
         Gi = int(G)
-        mb5 = max_blocks + 5
+        # blocks span `nb` strides (4 at the standard 75 % overlap):
+        # z[j] = f(j+nb) − f(j); keep derived from OVERLAP so this path
+        # can never silently diverge from the gather fallback
+        nb = round(1.0 / (1.0 - OVERLAP))
+        assert abs(BLOCK_SECONDS * rate - nb * Gi) < 1e-6, (rate, G)
+        mb5 = max_blocks + nb + 1
         flat_x = x2.reshape((-1, T))
         R = flat_x.shape[0]
         nq = T // Gi + 1
@@ -284,7 +289,7 @@ def windowed_loudness(
         ce = jax.vmap(lambda row, bs: jax.vmap(lambda b: slice_at(row, b, 1))(bs))(table, e_base)
         e_rel = ce[..., 0] - sl[..., 0]
         f = jnp.minimum(s_all, e_rel[..., None])  # [R, N, mb+5]
-        z = (f[..., 4 : 4 + max_blocks] - f[..., :max_blocks]) / (BLOCK_SECONDS * rate)
+        z = (f[..., nb : nb + max_blocks] - f[..., :max_blocks]) / (BLOCK_SECONDS * rate)
         z = z.reshape(starts.shape + (max_blocks,))
     else:
         cs = ChunkedCumsum.build(x2)

@@ -427,14 +427,16 @@ def _pitch_frames(x: jnp.ndarray, sr: float, num_samples: int, p: PitchParams, l
     return freq, strength, intensity, frame_valid
 
 
-def _top_k(score: jnp.ndarray, k: int):
+def _top_k(score: jnp.ndarray, k: int, force: str | None = None):
     """top-k along the last axis with lax.top_k semantics (descending,
     first index on ties). On TPU, k rounds of masked argmax beat the
     top_k lowering for small k over a few hundred lags (k passes of
     cheap VPU reductions instead of a sort network); off-TPU lax.top_k
     stays. Both produce identical results — argmax and top_k share the
-    first-index tie rule."""
-    if jax.default_backend() != "tpu" or k > 16:
+    first-index tie rule. ``force`` ("lax" | "iter") overrides the
+    backend dispatch (tests exercise the TPU branch on CPU with it)."""
+    use_iter = force == "iter" if force else (jax.default_backend() == "tpu" and k <= 16)
+    if not use_iter:
         return jax.lax.top_k(score, k)
     lanes = jnp.arange(score.shape[-1])
     cur = score

@@ -73,7 +73,16 @@ def hybrid_mesh(model: int = 1, data: int | None = None, slices: int | None = No
         # derive slice count from device attributes when available
         slice_ids = {getattr(d, "slice_index", 0) for d in devices}
         n_slices = max(len(slice_ids), 1)
-        if n_slices == 1 and jax.process_count() > 1 and n % jax.process_count() == 0:
+        # process-count fallback only off-TPU: a single-slice multi-host
+        # TPU pod reports slice_index 0 everywhere and its cross-process
+        # links ARE ICI — splitting a dcn axis per process there would
+        # misplace collectives
+        if (
+            n_slices == 1
+            and devices[0].platform != "tpu"
+            and jax.process_count() > 1
+            and n % jax.process_count() == 0
+        ):
             n_slices = jax.process_count()
     per_slice = n // n_slices
     if data is None:

@@ -203,23 +203,13 @@ class TestPitch:
                     assert got[i, j] == expect, (i, j, which, got[i, j], expect)
 
     def test_top_k_iterative_matches_lax(self, rng):
-        import jax
+        from prosody_control_french_tts_tpu.ops.pitch import _top_k
 
         score = rng.normal(size=(40, 297)).astype(np.float32)
         score[rng.random((40, 297)) > 0.2] = -np.inf  # sparse maxima + ties at -inf
-        ref_v, ref_i = jax.lax.top_k(jnp.asarray(score), 14)
-        # force the iterative branch (backend-gated in production)
-        lanes = jnp.arange(score.shape[-1])
-        cur = jnp.asarray(score)
-        vals, idxs = [], []
-        for _ in range(14):
-            i = jnp.argmax(cur, axis=-1)
-            v = jnp.take_along_axis(cur, i[..., None], axis=-1)[..., 0]
-            vals.append(v)
-            idxs.append(i)
-            cur = jnp.where(lanes == i[..., None], -jnp.inf, cur)
-        got_v = np.asarray(jnp.stack(vals, -1))
-        got_i = np.asarray(jnp.stack(idxs, -1))
+        ref_v, ref_i = _top_k(jnp.asarray(score), 14, force="lax")
+        got_v, got_i = _top_k(jnp.asarray(score), 14, force="iter")
+        got_v, got_i = np.asarray(got_v), np.asarray(got_i)
         np.testing.assert_array_equal(np.asarray(ref_v), got_v)
         # indices may differ only where values are -inf (ties among absent maxima)
         finite = np.isfinite(got_v)
