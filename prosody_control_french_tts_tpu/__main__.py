@@ -11,6 +11,7 @@ Commands mirror the reference's entry points (README.md:118-143 usage):
   corpus     natural-corpus assembly (create_natural_data.py)
   train-ctc  bootstrap the CTC forced aligner from wav+txt pairs
   pretrain-ctc  rebuild the packaged out-of-the-box CTC checkpoint
+  pretrain-masknet  rebuild the packaged vocal-isolation checkpoint
   bench      the throughput benchmark
 """
 
@@ -197,6 +198,19 @@ def main(argv: list[str] | None = None):
             args.out, n_sentences=args.sentences, epochs=args.epochs, batch=args.batch
         )
         print(f"held-out boundary error {err_ms:.1f} ms -> {args.out}")
+        return 0
+    if cmd == "pretrain-masknet":
+        import argparse
+
+        from .audio.separate import PACKAGED_WEIGHTS, pretrain_masknet
+
+        ap = argparse.ArgumentParser(prog="pretrain-masknet")
+        ap.add_argument("--out", default=str(PACKAGED_WEIGHTS))
+        ap.add_argument("--mixtures", type=int, default=192)
+        ap.add_argument("--epochs", type=int, default=8)
+        args = ap.parse_args(rest)
+        _, gain = pretrain_masknet(args.out, n_mixtures=args.mixtures, epochs=args.epochs)
+        print(f"held-out SI-SNR gain {gain:.2f} dB -> {args.out}")
         return 0
     if cmd == "bench":
         import runpy

@@ -152,6 +152,17 @@ class AudioPipeline:
             except Exception as e:  # noqa: BLE001 — demucs fallback contract
                 log.warning("spectral denoiser failed (%s); copying original", e)
                 shutil.copy(brute, denoised)
+        elif self.cfg.raw.get("denoise") == "mask":
+            # learned vocal isolation (the Demucs role) — packaged MaskNet
+            # checkpoint, or denoise_options: {weights_path: …}
+            from ..audio.separate import MaskSeparator
+
+            try:
+                sep = MaskSeparator(**self.cfg.raw.get("denoise_options", {}))
+                write_wav(denoised, sep.separate(read_wav(brute)))
+            except Exception as e:  # noqa: BLE001 — demucs fallback contract
+                log.warning("mask separator failed (%s); copying original", e)
+                shutil.copy(brute, denoised)
         elif cmd:
             import subprocess
 

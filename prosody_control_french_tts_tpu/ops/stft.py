@@ -35,6 +35,26 @@ def stft(x: jnp.ndarray, n_fft: int = 1024, hop_length: int | None = None, cente
     return jnp.swapaxes(spec, -1, -2)
 
 
+@partial(jax.jit, static_argnames=("n_fft", "hop", "length"))
+def istft_overlap_add(spec: jnp.ndarray, n_fft: int, hop: int, length: int) -> jnp.ndarray:
+    """Inverse of ``stft(center=True)`` by windowed overlap-add with
+    squared-window normalisation. spec: [F, T'] complex (librosa layout)
+    → [length] samples. Shared by the spectral-gate denoiser and the
+    mask-based separator."""
+    frames = jnp.fft.irfft(spec.T, n=n_fft, axis=-1)  # [T', n_fft]
+    win = jnp.asarray(_hann(n_fft))
+    frames = frames * win[None, :]
+    n_frames = frames.shape[0]
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    total = length + 2 * n_fft
+    out = jnp.zeros(total, frames.dtype).at[idx.reshape(-1)].add(frames.reshape(-1))
+    wsum = jnp.zeros(total, frames.dtype).at[idx.reshape(-1)].add(
+        jnp.tile(win * win, (n_frames,))
+    )
+    y = out / jnp.maximum(wsum, 1e-8)
+    return y[n_fft // 2 : n_fft // 2 + length]
+
+
 def spectrogram(
     x: jnp.ndarray, n_fft: int = 1024, hop_length: int | None = None, power: float = 2.0, db: bool = True
 ):
