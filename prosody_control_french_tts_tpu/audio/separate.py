@@ -90,8 +90,14 @@ class MaskSeparator:
         if self.params is None:
             raise ValueError("MaskSeparator has no weights; pretrain or pass weights_path")
         a = audio.to_mono()
-        x = jnp.asarray(np.asarray(a.samples, np.float32))
-        y = np.asarray(_separate_core(self.model, self.params, x, int(x.shape[-1])))
+        x = np.asarray(a.samples, np.float32)
+        # zero-pad to a length bucket so repeated calls at ragged lengths
+        # reuse one compiled program (shape-specialised jit)
+        n = x.shape[-1]
+        bucket = max(1 << 14, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        xp = np.zeros(bucket, np.float32)
+        xp[:n] = x
+        y = np.asarray(_separate_core(self.model, self.params, jnp.asarray(xp), bucket))[:n]
         return Audio(y.astype(np.float64), a.rate)
 
 
