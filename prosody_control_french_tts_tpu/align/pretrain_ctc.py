@@ -45,11 +45,16 @@ log = logging.getLogger(__name__)
 
 PACKAGED_WEIGHTS = Path(__file__).parent / "pretrained" / "ctc_fr_synth.npz"
 
-# mel frame i (n_fft=400, hop=160) is centred at i·160 + 200 samples; the
-# stride-2 conv pools mel frames 2j, 2j+1, so encoder frame j is centred
-# at ((2j·160+200) + ((2j+1)·160+200))/2 = 320j + 280 samples:
+# Label-time offset for encoder frame j (nominal time 20j ms). Two
+# conventions stack: with center=True mel frame i is centred at i·160
+# samples, so the pooled encoder frame's acoustic centre is 320j+80
+# (+5 ms); and states_to_words reports word spans from frame LEFT edges
+# (j·frame_dt), which shifts decoded boundaries by another half frame
+# (+10 ms) relative to centre-labelled targets. Empirically calibrated by
+# sweeping the offset against gold spans (held-out boundary error:
+# 0 ms→12.9, 5→9.1, 10→5.9, 17.5→6.2, 22.5→9.1):
 _ENC_HOP_S = 0.02
-_ENC_OFFSET_S = 280 / 16000.0  # 17.5 ms
+_ENC_OFFSET_S = 0.010
 
 
 def _frame_targets(char_spans, n_enc_frames: int, vocab) -> np.ndarray:

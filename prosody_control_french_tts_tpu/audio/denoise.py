@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.wavio import Audio
-from ..ops.stft import stft, _hann
+from ..ops.stft import stft
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "noise_quantile"))
@@ -55,21 +55,9 @@ def _denoise_core(
         return jnp.concatenate([m[:, :1], out.T], axis=1)
 
     mask = ema(ema(mask[:, ::-1])[:, ::-1])
-    cleaned = spec * mask
+    from ..ops.stft import istft_overlap_add
 
-    # overlap-add inverse STFT
-    frames = jnp.fft.irfft(cleaned.T, n=n_fft, axis=-1)  # [T', n_fft]
-    win = jnp.asarray(_hann(n_fft))
-    frames = frames * win[None, :]
-    Tp = x.shape[-1] + n_fft
-    n_frames = frames.shape[0]
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
-    out = jnp.zeros(Tp + n_fft, frames.dtype).at[idx.reshape(-1)].add(frames.reshape(-1))
-    wsum = jnp.zeros(Tp + n_fft, frames.dtype).at[idx.reshape(-1)].add(
-        jnp.tile(win * win, (n_frames,))
-    )
-    y = out / jnp.maximum(wsum, 1e-8)
-    return y[n_fft // 2 : n_fft // 2 + x.shape[-1]]
+    return istft_overlap_add(spec * mask, n_fft, hop, x.shape[-1])
 
 
 def denoise(audio: Audio, **kw) -> Audio:

@@ -73,11 +73,22 @@ def _separate_core(model, params, x, length: int):
 class MaskSeparator:
     """Separator protocol object: ``separate(audio) -> Audio`` (vocals)."""
 
-    def __init__(self, params=None, weights_path: str | Path | None = None, dim: int = 256, layers: int = 3):
+    SAMPLE_RATE = 16000  # the packaged checkpoint's training rate
+    CHUNK = 1 << 19  # ~33 s per compiled program
+    HALO = 4 * N_FFT  # context kept on each side of a chunk
+
+    def __init__(
+        self,
+        params=None,
+        weights_path: str | Path | None = None,
+        dim: int = 256,
+        layers: int = 3,
+        autoload: bool = True,
+    ):
         self.model = MaskNet(dim=dim, layers=layers)
         if weights_path is not None:
             params = load_params(weights_path)
-        elif params is None and dim == 256 and layers == 3 and PACKAGED_WEIGHTS.exists():
+        elif params is None and autoload and dim == 256 and layers == 3 and PACKAGED_WEIGHTS.exists():
             params = load_params(PACKAGED_WEIGHTS)
         self.params = params
 
@@ -87,18 +98,34 @@ class MaskSeparator:
         return self.params
 
     def separate(self, audio: Audio) -> Audio:
+        """Vocal estimate at the input's own rate. Processing happens at
+        the checkpoint's 16 kHz training rate (the mask is a function of
+        STFT-bin frequencies — CTCAligner.features makes the same move)
+        in fixed ~33 s chunks with n_fft halos, so arbitrarily long
+        recordings reuse ONE compiled program with bounded memory."""
+        from ..utils.wavio import resample
+
         if self.params is None:
             raise ValueError("MaskSeparator has no weights; pretrain or pass weights_path")
         a = audio.to_mono()
+        orig_rate = a.rate
+        if a.rate != self.SAMPLE_RATE:
+            a = resample(a, self.SAMPLE_RATE)
         x = np.asarray(a.samples, np.float32)
-        # zero-pad to a length bucket so repeated calls at ragged lengths
-        # reuse one compiled program (shape-specialised jit)
         n = x.shape[-1]
-        bucket = max(1 << 14, 1 << int(np.ceil(np.log2(max(n, 1)))))
-        xp = np.zeros(bucket, np.float32)
-        xp[:n] = x
-        y = np.asarray(_separate_core(self.model, self.params, jnp.asarray(xp), bucket))[:n]
-        return Audio(y.astype(np.float64), a.rate)
+        C, H = self.CHUNK, self.HALO
+        out = np.zeros(n, np.float32)
+        for s in range(0, n, C):
+            lo = max(s - H, 0)
+            hi = min(s + C + H, n)
+            seg = np.zeros(C + 2 * H, np.float32)
+            seg[: hi - lo] = x[lo:hi]
+            y = np.asarray(_separate_core(self.model, self.params, jnp.asarray(seg), C + 2 * H))
+            out[s : min(s + C, n)] = y[s - lo : s - lo + min(C, n - s)]
+        res = Audio(out.astype(np.float64), self.SAMPLE_RATE)
+        if orig_rate != self.SAMPLE_RATE:
+            res = resample(res, orig_rate)
+        return res
 
 
 # ---------------------------------------------------------------------------
@@ -171,6 +198,8 @@ def _prep_batches(pairs, batch: int):
     Tm = max(s[0].shape[0] for s in specs)
     Tm = int(np.ceil(Tm / 16) * 16)
     n = (len(specs) // batch) * batch
+    if n < len(specs):
+        log.info("dropping %d mixtures to fill %d-sized batches", len(specs) - n, batch)
     F = specs[0][0].shape[1]
     mix = np.zeros((n, Tm, F), np.float32)
     clean = np.zeros((n, Tm, F), np.float32)
@@ -204,8 +233,8 @@ def pretrain_masknet(
     improvement; save float16 weights."""
     import optax
 
-    sep = MaskSeparator()
-    sep.init_params(jax.random.PRNGKey(seed))  # fresh weights (ignore any packaged load)
+    sep = MaskSeparator(autoload=False)
+    sep.init_params(jax.random.PRNGKey(seed))
     pairs = _make_pairs(n_mixtures, seed)
     mix, clean, valid = _prep_batches(pairs, batch)
     log.info("masknet: %d mixtures, frames %s", mix.shape[0], mix.shape[1:])

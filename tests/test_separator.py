@@ -56,6 +56,29 @@ class TestPackagedSeparator:
             gains.append(si_snr_db(est[:n], speech[:n]) - si_snr_db(mix[:n], speech[:n]))
         assert float(np.mean(gains)) > 3.0, gains
 
+    def test_native_rate_input_resampled(self):
+        """44.1 kHz input (the usual brute-recording rate) must be
+        processed at the checkpoint's 16 kHz training rate and returned at
+        the input rate — a mask trained on 16 kHz bins applied directly to
+        44.1 kHz spectra would attenuate the wrong bands."""
+        from prosody_control_french_tts_tpu.utils.wavio import resample
+
+        sep = MaskSeparator()
+        spec = SynthSpec(sample_rate=16000)
+        speech, _ = synth_sentence("la radio du matin", spec, seed=31)
+        music = synth_music(speech.size / 16000 + 0.1, 16000, seed=32)[: speech.size]
+        mix16 = Audio(speech + 0.4 * music, 16000)
+        mix44 = resample(mix16, 44100)
+        est = sep.separate(mix44)
+        assert est.rate == 44100
+        assert abs(est.samples.shape[-1] - mix44.samples.shape[-1]) <= 4
+        est16 = np.asarray(resample(est, 16000).samples, np.float32)
+        n = min(est16.size, speech.size)
+        gain = si_snr_db(est16[:n], speech[:n]) - si_snr_db(
+            np.asarray(mix16.samples, np.float32)[:n], speech[:n]
+        )
+        assert gain > 2.0, gain
+
     def test_pipeline_denoise_mask(self, tmp_path):
         """`denoise: mask` cleans the brute recording before the silence
         split — the reference's demucs_process position in the chain."""
