@@ -259,12 +259,47 @@ def bench_pipeline_e2e() -> float:
     return result
 
 
+def bench_llm_decode() -> float:
+    """Greedy KV-cache decode throughput of the Qwen-geometry LoRA LLM
+    (BASELINE.json config "Cascaded Qwen few-shot SSML tagging batched on
+    TPU"): tokens/sec for batch-8 64-token continuations at a ~100M-param
+    geometry (full 7B would take hours to random-init on this 1-vCPU
+    host; decode cost scales linearly with params, so this records the
+    stack's shape, not a 7B claim)."""
+    import jax.numpy as jnp
+
+    from prosody_control_french_tts_tpu.models.llm import DecoderLM, LLMConfig, greedy_generate
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    if on_accel:
+        cfg = LLMConfig(vocab_size=32768, dim=896, layers=12, heads=14, kv_heads=2, ffn=2432, max_len=512, lora_rank=8)
+        # decode is latency-bound per step; batch amortizes it (batched
+        # SSML tagging is the production shape — fewshot/model.py fans out
+        # 1000 samples)
+        B, P, NEW = 64, 64, 64
+    else:
+        cfg = LLMConfig(vocab_size=512, dim=64, layers=2, heads=4, kv_heads=2, ffn=128, max_len=128, lora_rank=4)
+        B, P, NEW = 2, 8, 8
+    model = DecoderLM(cfg)
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, P)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), prompt[:, :1], positions=jnp.zeros((B, 1), jnp.int32))
+    out = greedy_generate(model, params, prompt, max_new=NEW)
+    int(np.asarray(out)[0, -1])  # compile + warm (read forces execution)
+    t0 = time.perf_counter()
+    out = greedy_generate(model, params, jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, P)), jnp.int32), max_new=NEW)
+    sink = int(np.asarray(out)[0, -1])
+    dt = time.perf_counter() - t0
+    return B * NEW / dt
+
+
 def main():
     value = bench_measure()
     extra = {}
     if not os.environ.get("BENCH_FAST"):
         extra["bert_sentences_per_sec"] = round(bench_bert(), 1)
         extra["pipeline_e2e_audio_hours_per_hour"] = round(bench_pipeline_e2e(), 1)
+        extra["llm_decode_tokens_per_sec"] = round(bench_llm_decode(), 1)
 
     which = os.environ.get("BENCH_METRIC", "measure")
     if which == "bert" and "bert_sentences_per_sec" in extra:
