@@ -250,7 +250,9 @@ def bench_pipeline_e2e() -> float:
         assert (root / "Out" / "results" / "rec" / "OUT.wav").exists()
         return (audio_seconds / 3600.0) / (dt / 3600.0)
 
-    for timed in (False, True):
+    # two identical runs; only the second (steady-state, compiles warm) is
+    # reported — the first pays any cold jit compiles
+    for _warmup_then_timed in range(2):
         root = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
         try:
             result = run_once(root)
@@ -262,7 +264,7 @@ def bench_pipeline_e2e() -> float:
 def bench_llm_decode() -> float:
     """Greedy KV-cache decode throughput of the Qwen-geometry LoRA LLM
     (BASELINE.json config "Cascaded Qwen few-shot SSML tagging batched on
-    TPU"): tokens/sec for batch-8 64-token continuations at a ~100M-param
+    TPU"): tokens/sec for batch-64 64-token continuations at a ~100M-param
     geometry (full 7B would take hours to random-init on this 1-vCPU
     host; decode cost scales linearly with params, so this records the
     stack's shape, not a 7B claim)."""

@@ -11,6 +11,7 @@ Commands mirror the reference's entry points (README.md:118-143 usage):
   corpus     natural-corpus assembly (create_natural_data.py)
   train-ctc  bootstrap the CTC forced aligner from wav+txt pairs
   pretrain-ctc  rebuild the packaged out-of-the-box CTC checkpoint
+  pretrain-whisper  rebuild the packaged out-of-the-box Whisper checkpoint
   pretrain-masknet  rebuild the packaged vocal-isolation checkpoint
   bench      the throughput benchmark
 """
@@ -198,6 +199,22 @@ def main(argv: list[str] | None = None):
             args.out, n_sentences=args.sentences, epochs=args.epochs, batch=args.batch
         )
         print(f"held-out boundary error {err_ms:.1f} ms -> {args.out}")
+        return 0
+    if cmd == "pretrain-whisper":
+        import argparse
+
+        from .align.pretrain_whisper import PACKAGED_DIR, pretrain
+
+        ap = argparse.ArgumentParser(prog="pretrain-whisper")
+        ap.add_argument("--out", default=str(PACKAGED_DIR))
+        ap.add_argument("--sentences", type=int, default=1536)
+        ap.add_argument("--epochs", type=int, default=12)
+        ap.add_argument("--batch", type=int, default=16)
+        args = ap.parse_args(rest)
+        _, err_ms, acc = pretrain(
+            args.out, n_sentences=args.sentences, epochs=args.epochs, batch=args.batch
+        )
+        print(f"held-out boundary error {err_ms:.1f} ms, word acc {acc:.3f} -> {args.out}")
         return 0
     if cmd == "pretrain-masknet":
         import argparse

@@ -1,0 +1,281 @@
+"""Pretraining recipe for the packaged out-of-the-box Whisper aligner.
+
+The reference's primary aligner downloads a published Whisper model and
+transcribes immediately (Code/Aligners/use_whisper_timestamped.py:92-104).
+No network exists in this environment, so — exactly like the CTC family's
+``align/pretrained/ctc_fr_synth.npz`` (pretrain_ctc.py) — the shipped
+``aligner: whisper`` checkpoint is pretrained on compositional synthetic
+French speech (align.synth_speech: every character has a fixed spectral
+signature, so a model trained on it generalises to unseen words and
+sentences).
+
+Two supervision signals per sentence:
+
+- **next-token CE** on ``[sot] + utf8-bytes + [eot]`` (models.bpe_tokenizer
+  .byte_level_french: 1 byte = 1 token, mirroring the per-character
+  compositionality of the audio) — trains transcription;
+- **cross-attention supervision**: the synthesizer returns gold character
+  timing, each byte token's layer/head-averaged cross-attention is pushed
+  onto its character's encoder-frame span (−log attention mass in the gold
+  span). This pins the attention maps the DTW timestamp extractor
+  (whisper_jax.token_times_from_cross_attention) walks, giving
+  frame-accurate word boundaries — the counterpart of pretrain_ctc's
+  frame-supervised CE, for the same reason (unconstrained seq2seq
+  attention is free to smear).
+
+The held-out gate measures word-boundary error through the REAL production
+path — ``WhisperAligner.align`` with no transcript, i.e. single-launch
+KV-cache greedy transcription + DTW — plus exact-sentence accuracy, before
+the checkpoint is written.
+
+CLI: ``python -m prosody_control_french_tts_tpu pretrain-whisper [--out D]``.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.bpe_tokenizer import byte_level_french
+from ..utils.wavio import Audio
+from .synth_speech import SynthSpec, sample_sentences, synth_sentence
+from .whisper_jax import FRAME_DT, WhisperAligner, WhisperConfig, WhisperModel
+
+log = logging.getLogger(__name__)
+
+PACKAGED_DIR = Path(__file__).parent / "pretrained" / "whisper_fr_synth"
+
+
+def synth_fr_config() -> WhisperConfig:
+    """Geometry of the shipped checkpoint: large enough for crisp byte-level
+    transcription + attention maps of the synthetic charset, small enough
+    (≈6.3 M params, ~13 MiB f16) to live in-repo. The 10.24 s window covers
+    the longest sampled sentence (9 words ≈ 9.3 s)."""
+    return WhisperConfig(
+        n_mels=80,
+        n_audio_ctx=512,
+        n_text_ctx=128,
+        dim=256,
+        heads=4,
+        enc_layers=3,
+        dec_layers=3,
+        vocab_size=1864,  # 256 byte tokens + the Whisper special table
+    )
+
+
+def _byte_char_spans(sent: str, char_spans) -> list[tuple[float, float]] | None:
+    """Per-utf8-byte (t0, t1) spans: each byte of a character inherits the
+    character's gold acoustic span (inter-word spaces included). Returns
+    None when the synthesizer dropped a character (can't happen for
+    synth_speech.WORDS — all chars ∈ FR_CHARS — but guards custom text)."""
+    if len(char_spans) != len(sent):
+        return None
+    out: list[tuple[float, float]] = []
+    for ch, (t0, t1, c) in zip(sent, char_spans):
+        if c != ch:
+            return None
+        out.extend([(t0, t1)] * len(ch.encode("utf-8")))
+    return out
+
+
+def _prep_batches(
+    al: WhisperAligner, sentences: list[str], spec: SynthSpec, batch: int, seed: int
+):
+    """Host-side prep → fixed-shape arrays:
+    mel [B, 2·ctx, n_mels], ids [B, L] (eot-padded), n_text [B],
+    att_target [B, L-1, F] bool (gold frame span per decoder-input byte
+    token; rows for sot/eot/pad stay empty and are masked).
+
+    Mel extraction is batched (log_mel broadcasts over leading dims): the
+    audio is zero-padded host-side to the model window and featurised in
+    chunks of 64 — a handful of device launches for the whole corpus
+    instead of one per sentence (the axon tunnel costs ~30 ms per launch).
+    """
+    from ..ops.stft import log_mel
+    from .whisper_jax import HOP, SAMPLE_RATE
+
+    cfg, tok = al.cfg, al.tokenizer
+    L = cfg.n_text_ctx
+    F = cfg.n_audio_ctx
+    max_mel = cfg.n_audio_ctx * 2
+    want = max_mel * HOP
+    waves, ids_all, n_all, tgt_all = [], [], [], []
+    for i, sent in enumerate(sentences):
+        audio, _, chars = synth_sentence(sent, spec, seed=seed + i, with_chars=True)
+        spans = _byte_char_spans(sent, chars)
+        ids = tok.encode(sent)  # [sot] + bytes + [eot]
+        if spans is None or len(ids) > L or audio.shape[0] > want:
+            continue
+        waves.append(np.pad(np.asarray(audio, np.float32), (0, want - audio.shape[0])))
+        n = len(ids) - 2  # text bytes
+        ids_all.append(np.pad(np.asarray(ids, np.int32), (0, L - len(ids)), constant_values=tok.sep_id))
+        n_all.append(n)
+        tgt = np.zeros((L - 1, F), bool)
+        for p, (t0, t1) in enumerate(spans):  # byte token p sits at position p+1
+            lo = int(np.floor(t0 / FRAME_DT))
+            hi = max(int(np.ceil(t1 / FRAME_DT)), lo + 1)
+            tgt[p + 1, lo : min(hi, F)] = True
+        tgt_all.append(tgt)
+    nb = (len(waves) // batch) * batch
+    assert spec.sample_rate == SAMPLE_RATE
+    featurize = jax.jit(lambda x: log_mel(x, SAMPLE_RATE, n_fft=400, hop_length=HOP, n_mels=cfg.n_mels)[:, :max_mel])
+    mels = [
+        np.asarray(featurize(jnp.asarray(np.stack(waves[s : s + 64]))))
+        for s in range(0, nb, 64)
+    ]
+    return (
+        np.concatenate(mels)[:nb],
+        np.stack(ids_all[:nb]),
+        np.asarray(n_all[:nb], np.int32),
+        np.stack(tgt_all[:nb]),
+    )
+
+
+def _make_step(model: WhisperModel, lr: float, total_steps: int, att_weight: float):
+    import optax
+
+    warmup = min(50, max(total_steps // 10, 1))
+    tx = optax.adam(
+        optax.warmup_cosine_decay_schedule(0.0, lr, warmup, max(total_steps, warmup + 1), lr * 0.1)
+    )
+
+    @jax.jit
+    def step(params, opt_state, mel, ids, n_text, att_target):
+        L = ids.shape[1]
+
+        def loss_fn(p):
+            logits, cross = model.apply(p, mel, ids[:, :-1], True)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            tgt = ids[:, 1:]
+            ll = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+            # label smoothing (0.1): the decoder must not memorise training
+            # word sequences — held-out transcription is the gate
+            smooth = 0.1
+            ll = (1.0 - smooth) * ll + smooth * jnp.mean(logp, axis=-1)
+            # targets 0..n_text are the text bytes + the real eot
+            tmask = jnp.arange(L - 1)[None, :] <= n_text[:, None]
+            ce = -jnp.sum(ll * tmask) / jnp.maximum(jnp.sum(tmask), 1.0)
+            # attention supervision on the byte-token queries (positions
+            # 1..n_text of the decoder input)
+            w = jnp.mean(jnp.stack([c.mean(axis=1) for c in cross]), axis=0)  # [B, L-1, F]
+            mass = jnp.sum(w * att_target, axis=-1)
+            amask = (jnp.arange(L - 1)[None, :] >= 1) & (
+                jnp.arange(L - 1)[None, :] <= n_text[:, None]
+            )
+            att = -jnp.sum(jnp.log(mass + 1e-8) * amask) / jnp.maximum(jnp.sum(amask), 1.0)
+            return ce + att_weight * att, (ce, att)
+
+        (loss, (ce, att)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, ce, att
+
+    return tx, step
+
+
+def boundary_error_ms(
+    al: WhisperAligner, sentences: list[str], spec: SynthSpec, seed: int = 10_000
+) -> tuple[float, float]:
+    """(mean |word-boundary error| ms, word accuracy) on freshly synthesized
+    sentences, through the transcript-FREE production path (greedy KV-cache
+    transcribe + cross-attention DTW). Words are matched by sequence
+    alignment (difflib, the WER convention) so one inserted/dropped word
+    costs itself, not every word after it."""
+    from difflib import SequenceMatcher
+
+    errs, hit, total = [], 0, 0
+    for i, sent in enumerate(sentences):
+        audio, gold = synth_sentence(sent, spec, seed=seed + i)
+        tg = al.align(Audio(audio, spec.sample_rate))
+        words = [(iv.min_time, iv.max_time, iv.mark) for iv in tg.tiers[0] if iv.mark.strip()]
+        total += len(gold)
+        sm = SequenceMatcher(
+            a=[w.lower() for _, _, w in gold], b=[w.lower() for _, _, w in words], autojunk=False
+        )
+        for blk in sm.get_matching_blocks():
+            for k in range(blk.size):
+                hit += 1
+                gt0, gt1, _ = gold[blk.a + k]
+                t0, t1, _ = words[blk.b + k]
+                errs.append(abs(gt0 - t0))
+                errs.append(abs(gt1 - t1))
+    if not errs:
+        return float("inf"), 0.0
+    return 1000.0 * float(np.mean(errs)), hit / max(total, 1)
+
+
+def pretrain(
+    out_dir: str | Path = PACKAGED_DIR,
+    n_sentences: int = 1536,
+    epochs: int = 12,
+    batch: int = 16,
+    lr: float = 3e-4,
+    att_weight: float = 0.5,
+    seed: int = 0,
+    target_boundary_ms: float = 60.0,
+    target_word_acc: float = 0.9,
+) -> tuple[WhisperAligner, float, float]:
+    """Train, gate on held-out boundary error + word accuracy (both through
+    the no-transcript production path), save the f16 checkpoint directory."""
+    spec = SynthSpec()
+    cfg = synth_fr_config()
+    tok = byte_level_french()
+    al = WhisperAligner(cfg, tokenizer=tok)
+    sentences = sample_sentences(n_sentences, seed=seed)
+    mel, ids, n_text, att_target = _prep_batches(al, sentences, spec, batch, seed)
+    log.info("pretraining whisper on %d sentences, mel %s", mel.shape[0], mel.shape)
+    model = al.model
+    params = model.init(
+        jax.random.PRNGKey(seed), jnp.asarray(mel[:1]), jnp.asarray(ids[:1, :-1])
+    )
+    steps_per_epoch = mel.shape[0] // batch
+    tx, step = _make_step(model, lr, epochs * steps_per_epoch, att_weight)
+    opt = tx.init(params)
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    for epoch in range(epochs):
+        order = rng.permutation(mel.shape[0])
+        ep_ce, ep_att = [], []
+        for s in range(0, steps_per_epoch * batch, batch):
+            idx = order[s : s + batch]
+            params, opt, loss, ce, att = step(
+                params, opt, mel[idx], ids[idx], n_text[idx], att_target[idx]
+            )
+            ep_ce.append(ce)
+            ep_att.append(att)
+        log.info(
+            "epoch %d: ce %.4f att %.4f (%.0fs)",
+            epoch,
+            float(jnp.mean(jnp.stack(ep_ce))),
+            float(jnp.mean(jnp.stack(ep_att))),
+            time.time() - t0,
+        )
+
+    # gate what ships: cast to f16 first, evaluate the cast weights
+    al.params = jax.tree.map(
+        lambda x: np.asarray(x, np.float16)
+        if np.issubdtype(np.asarray(x).dtype, np.floating)
+        else np.asarray(x),
+        params,
+    )
+    holdout = sample_sentences(32, seed=seed + 777)
+    err_ms, acc = boundary_error_ms(al, holdout, spec)
+    log.info("held-out boundary error: %.1f ms, word accuracy %.3f", err_ms, acc)
+    out_dir = Path(out_dir)
+    if err_ms > target_boundary_ms or acc < target_word_acc:
+        # keep the rejected weights inspectable, never in the packaged dir
+        failed = out_dir.parent / (out_dir.name + ".failed")
+        al.save_pretrained(failed)
+        raise RuntimeError(
+            f"gate failed: boundary {err_ms:.1f} ms (≤{target_boundary_ms}), "
+            f"word acc {acc:.3f} (≥{target_word_acc}); weights at {failed}"
+        )
+    al.save_pretrained(out_dir)
+    size = sum(f.stat().st_size for f in out_dir.iterdir())
+    log.info("saved %s (%.1f MiB)", out_dir, size / 2**20)
+    return al, err_ms, acc

@@ -21,6 +21,7 @@ whisper-timestamped stack (Code/Aligners/use_whisper_timestamped.py):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from pathlib import Path
 
 import flax.linen as nn
 import jax
@@ -78,47 +79,90 @@ def sinusoids(length: int, channels: int) -> np.ndarray:
 
 
 class _MHA(nn.Module):
+    """Multi-head attention with the three entry modes of a TPU decode path:
+    full (training / teacher-forced), precomputed-KV (cross attention at
+    decode: K/V projected from the encoder ONCE via ``kv_proj``), and
+    KV-cached causal self-attention (keys/values written in place with
+    ``lax.dynamic_update_slice``, masked by absolute position)."""
+
     cfg: WhisperConfig
     causal: bool = False
 
-    @nn.compact
-    def __call__(self, q_in, kv_in, return_weights: bool = False):
+    def setup(self):
         c = self.cfg
         hd = c.dim // c.heads
-        q = nn.DenseGeneral((c.heads, hd), name="q", dtype=c.dtype)(q_in)
-        k = nn.DenseGeneral((c.heads, hd), name="k", use_bias=False, dtype=c.dtype)(kv_in)
-        v = nn.DenseGeneral((c.heads, hd), name="v", dtype=c.dtype)(kv_in)
+        self.q = nn.DenseGeneral((c.heads, hd), dtype=c.dtype)
+        self.k = nn.DenseGeneral((c.heads, hd), use_bias=False, dtype=c.dtype)
+        self.v = nn.DenseGeneral((c.heads, hd), dtype=c.dtype)
+        self.out = nn.DenseGeneral(c.dim, axis=(-2, -1), dtype=c.dtype)
+
+    def kv_proj(self, x):
+        """Project K/V once (cross-attention precompute for decode)."""
+        return self.k(x), self.v(x)
+
+    def __call__(self, q_in, kv_in, return_weights: bool = False, cache=None, kv=None):
+        c = self.cfg
+        hd = c.dim // c.heads
+        q = self.q(q_in)
+        new_cache = None
+        if kv is not None:
+            k, v = kv
+        else:
+            k, v = self.k(kv_in), self.v(kv_in)
+            if cache is not None:
+                ck, cv, pos = cache
+                k = jax.lax.dynamic_update_slice(ck, k, (0, pos, 0, 0))
+                v = jax.lax.dynamic_update_slice(cv, v, (0, pos, 0, 0))
+                new_cache = (k, v)
         att = jnp.einsum("...qhd,...khd->...hqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
         if self.causal:
-            L, S = q_in.shape[-2], kv_in.shape[-2]
-            mask = jnp.tril(jnp.ones((L, S), bool), k=S - L)
+            L, S = q_in.shape[-2], att.shape[-1]
+            if cache is None:
+                mask = jnp.tril(jnp.ones((L, S), bool), k=S - L)
+            else:
+                # queries sit at absolute positions pos..pos+L-1; the cache
+                # holds keys for positions 0..S-1 (zeros beyond the write
+                # head, masked off here)
+                mask = jnp.arange(S)[None, :] <= (cache[2] + jnp.arange(L))[:, None]
             att = jnp.where(mask, att, jnp.finfo(att.dtype).min)
         w = jax.nn.softmax(att.astype(jnp.float32), axis=-1)
-        out = jnp.einsum("...hqk,...khd->...qhd", w.astype(q.dtype), v)
-        out = nn.DenseGeneral(c.dim, axis=(-2, -1), name="out", dtype=c.dtype)(out)
-        return (out, w) if return_weights else (out, None)
+        o = jnp.einsum("...hqk,...khd->...qhd", w.astype(q.dtype), v)
+        o = self.out(o)
+        return o, (w if return_weights else None), new_cache
 
 
 class _Block(nn.Module):
     cfg: WhisperConfig
-    cross: bool = False
-    causal: bool = False
+    use_cross: bool = False
+    use_causal: bool = False
 
-    @nn.compact
-    def __call__(self, x, enc=None, collect_cross: bool = False):
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_attn")(x)
-        h, _ = _MHA(self.cfg, causal=self.causal, name="attn")(h, h)
+    def setup(self):
+        c = self.cfg
+        self.ln_attn = nn.LayerNorm(dtype=jnp.float32)
+        self.attn = _MHA(c, causal=self.use_causal)
+        if self.use_cross:
+            self.ln_cross = nn.LayerNorm(dtype=jnp.float32)
+            self.cross = _MHA(c)
+        self.ln_ffn = nn.LayerNorm(dtype=jnp.float32)
+        self.fc1 = nn.Dense(c.dim * 4, dtype=c.dtype)
+        self.fc2 = nn.Dense(c.dim, dtype=c.dtype)
+
+    def __call__(self, x, enc=None, collect_cross: bool = False, cache=None, kv=None):
+        h, _, new_cache = self.attn(self.ln_attn(x), x, cache=cache)
         x = x + h
         cross_w = None
-        if self.cross:
-            hn = nn.LayerNorm(dtype=jnp.float32, name="ln_cross")(x)
-            h, cross_w = _MHA(self.cfg, name="cross")(hn, enc, return_weights=collect_cross)
+        if self.use_cross:
+            hn = self.ln_cross(x)
+            h, cross_w, _ = self.cross(hn, enc, return_weights=collect_cross, kv=kv)
             x = x + h
-        hn = nn.LayerNorm(dtype=jnp.float32, name="ln_ffn")(x)
-        h = nn.Dense(self.cfg.dim * 4, dtype=self.cfg.dtype, name="fc1")(hn)
+        hn = self.ln_ffn(x)
+        h = self.fc1(hn)
         h = jax.nn.gelu(h, approximate=False)
-        x = x + nn.Dense(self.cfg.dim, dtype=self.cfg.dtype, name="fc2")(h)
-        return x, cross_w
+        x = x + self.fc2(h)
+        return x, cross_w, new_cache
+
+    def cross_kv(self, enc):
+        return self.cross.kv_proj(enc)
 
 
 class WhisperEncoder(nn.Module):
@@ -136,29 +180,66 @@ class WhisperEncoder(nn.Module):
         T = x.shape[-2]
         x = x + jnp.asarray(sinusoids(c.n_audio_ctx, c.dim))[:T]
         for i in range(c.enc_layers):
-            x, _ = _Block(c, name=f"block_{i}")(x)
+            x, _, _ = _Block(c, name=f"block_{i}")(x)
         return nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x)
 
 
 class WhisperDecoder(nn.Module):
     cfg: WhisperConfig
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        self.tok_emb = nn.Embed(c.vocab_size, c.dim, dtype=c.dtype)
+        self.pos_emb = self.param(
+            "pos_emb", nn.initializers.normal(0.01), (c.n_text_ctx, c.dim), jnp.float32
+        )
+        for i in range(c.dec_layers):
+            setattr(self, f"block_{i}", _Block(c, use_cross=True, use_causal=True))
+        self.ln_post = nn.LayerNorm(dtype=jnp.float32)
+
+    def _blocks(self):
+        return [getattr(self, f"block_{i}") for i in range(self.cfg.dec_layers)]
+
+    def _head(self, x):
+        x = self.ln_post(x)
+        return x @ self.tok_emb.embedding.T.astype(x.dtype)
+
     def __call__(self, tokens, enc, collect_cross: bool = False):
         c = self.cfg
-        emb = nn.Embed(c.vocab_size, c.dim, name="tok_emb", dtype=c.dtype)
-        pos = self.param("pos_emb", nn.initializers.normal(0.01), (c.n_text_ctx, c.dim), jnp.float32)
-        x = emb(tokens) + pos[: tokens.shape[-1]].astype(c.dtype)
+        x = self.tok_emb(tokens) + self.pos_emb[: tokens.shape[-1]].astype(c.dtype)
         cross_ws = []
-        for i in range(c.dec_layers):
-            x, w = _Block(c, cross=True, causal=True, name=f"block_{i}")(
-                x, enc, collect_cross=collect_cross
-            )
+        for blk in self._blocks():
+            x, w, _ = blk(x, enc, collect_cross=collect_cross)
             if collect_cross and w is not None:
                 cross_ws.append(w)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x)
-        logits = x @ emb.embedding.T.astype(x.dtype)
-        return logits, cross_ws
+        return self._head(x), cross_ws
+
+    def cross_kv(self, enc):
+        """Per-layer (K, V) of the cross attention, projected once per
+        segment — the decode loop never touches the encoder again."""
+        return [blk.cross_kv(enc) for blk in self._blocks()]
+
+    def step(self, tokens, pos, caches, cross_kvs):
+        """One decode step: ``tokens`` [B, L] at absolute positions
+        pos..pos+L-1 against self-attention KV caches [B, S, heads, hd].
+        Returns (logits [B, L, V], new caches, cross-attention row
+        [B, L, F] — head- and layer-averaged, the DTW timestamp input)."""
+        c = self.cfg
+        L = tokens.shape[-1]
+        pos_slice = jax.lax.dynamic_slice(self.pos_emb, (pos, 0), (L, c.dim))
+        x = self.tok_emb(tokens) + pos_slice.astype(c.dtype)
+        new_caches, rows = [], []
+        for i, blk in enumerate(self._blocks()):
+            x, w, nc = blk(
+                x,
+                collect_cross=True,
+                cache=(caches[i][0], caches[i][1], pos),
+                kv=cross_kvs[i],
+            )
+            new_caches.append(nc)
+            rows.append(w.mean(axis=1))  # head-mean, [B, L, F]
+        att = jnp.mean(jnp.stack(rows), axis=0)
+        return self._head(x), new_caches, att
 
 
 class WhisperModel(nn.Module):
@@ -178,6 +259,69 @@ class WhisperModel(nn.Module):
     def decode(self, tokens, enc, collect_cross: bool = False):
         return self.decoder(tokens, enc, collect_cross)
 
+    def cross_kv(self, enc):
+        return self.decoder.cross_kv(enc)
+
+    def decode_step(self, tokens, pos, caches, cross_kvs):
+        return self.decoder.step(tokens, pos, caches, cross_kvs)
+
+
+def make_greedy_fn(model: WhisperModel, max_new: int):
+    """Single-jit greedy transcription (the models/llm.greedy_generate
+    pattern applied to the encoder-decoder): mel → encoder → per-layer
+    cross-K/V precompute → lax.while_loop of KV-cached single-token decoder
+    steps. One executable launch per segment instead of one per token (the
+    tunnel costs ~30 ms per launch; the reference's GPU hot loop is
+    use_whisper_timestamped.py:150-170).
+
+    Returns fn(params, mel [B, ·, n_mels], sot_id, eot_id) →
+    (tokens [B, max_new+1] with tokens[:, 0] = sot, att [B, max_new+1, F]):
+    att[s] is the layer/head-averaged cross-attention of the query at
+    position s — rows 1..n are the per-token DTW timestamp input.
+    """
+    cfg = model.cfg
+
+    @jax.jit
+    def run(params, mel, sot_id, eot_id):
+        enc = model.apply(params, mel, method=WhisperModel.encode)
+        cross_kvs = model.apply(params, enc, method=WhisperModel.cross_kv)
+        B, F = enc.shape[0], enc.shape[-2]
+        hd = cfg.dim // cfg.heads
+        total = max_new + 1
+        caches = [
+            (
+                jnp.zeros((B, total, cfg.heads, hd), cfg.dtype),
+                jnp.zeros((B, total, cfg.heads, hd), cfg.dtype),
+            )
+            for _ in range(cfg.dec_layers)
+        ]
+        tokens = jnp.full((B, total), eot_id, jnp.int32)
+        tokens = tokens.at[:, 0].set(sot_id)
+        att = jnp.zeros((B, total, F), jnp.float32)
+
+        def cond(state):
+            step, _, _, _, done = state
+            return (step < max_new) & ~jnp.all(done)
+
+        def body(state):
+            step, tokens, caches, att, done = state
+            ids = jax.lax.dynamic_slice(tokens, (0, step), (B, 1))
+            logits, caches, row = model.apply(
+                params, ids, step, caches, cross_kvs, method=WhisperModel.decode_step
+            )
+            att = jax.lax.dynamic_update_slice(att, row.astype(jnp.float32), (0, step, 0))
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, eot_id, nxt)
+            done = done | (nxt == eot_id)
+            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step + 1))
+            return step + 1, tokens, caches, att, done
+
+        state = (0, tokens, caches, att, jnp.zeros((B,), bool))
+        _, tokens, _, att, _ = jax.lax.while_loop(cond, body, state)
+        return tokens, att
+
+    return run
+
 
 # ---------------------------------------------------------------------------
 # cross-attention DTW timestamps (whisper-timestamped technique)
@@ -195,36 +339,28 @@ def token_times_from_cross_attention(
         w = w.mean(axis=0)
     w = w.mean(axis=0)  # [tokens, frames]
     w = w[:, :n_frames]
-    # normalise per token, build a cost and DTW a monotonic path
+    return spans_from_attention(w, frame_dt)
+
+
+def spans_from_attention(w: np.ndarray, frame_dt: float = FRAME_DT) -> np.ndarray:
+    """[tokens, frames] attention → [tokens, 2] start/end seconds.
+
+    Normalises per token, then runs the monotonic-partition DP on device
+    (ops.dtw.monotonic_partition_costs — associative-scan rows, replacing
+    the former O(tokens×frames) Python double loop) and backtracks the
+    O(L+F) path on host. The token axis pads to a 16-bucket so XLA compiles
+    one program per frame width; D's row-prefix property makes the padded
+    rows inert."""
+    from ..ops.dtw import monotonic_partition_backtrack, monotonic_partition_costs
+
+    w = np.asarray(w, np.float32)
     w = w / np.maximum(w.sum(axis=-1, keepdims=True), 1e-9)
-    cost_tokens = -w  # maximise attention ≡ minimise cost
-    n_tok, n_fr = cost_tokens.shape
-    # DP over (token, frame) with steps (1,1) and (0,1): every token gets a
-    # contiguous frame span
-    INF = 1e30
-    D = np.full((n_tok + 1, n_fr + 1), INF)
-    D[0, :] = 0.0
-    choice = np.zeros((n_tok + 1, n_fr + 1), np.int8)
-    for i in range(1, n_tok + 1):
-        for j in range(1, n_fr + 1):
-            diag = D[i - 1, j - 1]
-            left = D[i, j - 1]
-            if diag <= left:
-                D[i, j] = diag + cost_tokens[i - 1, j - 1]
-                choice[i, j] = 1
-            else:
-                D[i, j] = left + cost_tokens[i - 1, j - 1]
-                choice[i, j] = 0
-    # backtrack
-    spans = np.zeros((n_tok, 2))
-    i, j = n_tok, n_fr
-    end_j = j
-    while i > 0 and j > 0:
-        if choice[i, j] == 1:
-            spans[i - 1] = (j - 1, end_j)
-            i -= 1
-            end_j = j - 1
-        j -= 1
+    n_tok, n_fr = w.shape
+    pad_l = ((n_tok + 15) // 16) * 16
+    cost = np.zeros((pad_l, n_fr), np.float32)
+    cost[:n_tok] = -w  # maximise attention ≡ minimise cost
+    D = np.asarray(monotonic_partition_costs(jnp.asarray(cost)))
+    spans = monotonic_partition_backtrack(D[: n_tok + 1, : n_fr + 1])
     return spans * frame_dt
 
 
@@ -350,6 +486,22 @@ class WhisperAligner:
         use_vad: bool = True,
         detect_disfluencies: bool = True,
     ):
+        if cfg is None and params is None and tokenizer is None and weights_path is None:
+            # zero-config construction → the packaged hermetically-pretrained
+            # checkpoint (align.pretrain_whisper), the out-of-the-box
+            # behavior of the reference's model download
+            # (use_whisper_timestamped.py:92-104) without the network
+            packaged = Path(__file__).parent / "pretrained" / "whisper_fr_synth"
+            if (packaged / "weights.npz").exists():
+                import json
+
+                from ..models.bpe_tokenizer import load_whisper_tokenizer
+
+                d = json.loads((packaged / "config.json").read_text(encoding="utf-8"))
+                d.pop("dtype", None)
+                cfg = WhisperConfig(**d)
+                tokenizer = load_whisper_tokenizer(packaged)
+                weights_path = packaged / "weights.npz"
         self.cfg = cfg or WhisperConfig.tiny()
         self.model = WhisperModel(self.cfg)
         self.tokenizer = tokenizer
@@ -362,6 +514,7 @@ class WhisperAligner:
         # detect_disfluencies=True (use_whisper_timestamped.py:150-156)
         self.use_vad = use_vad
         self.detect_disfluencies = detect_disfluencies
+        self._greedy_cache: dict = {}  # max_new → jitted decode fn
 
     @classmethod
     def from_pretrained(cls, path, **kwargs) -> "WhisperAligner":
@@ -513,35 +666,50 @@ class WhisperAligner:
                 for w in self._align_words(sub, sub_tr):
                     out_words.append(AlignedWord(w.start + t0, w.end + t0, w.word))
             return out_words
-        text = transcript if transcript is not None else self.transcribe(audio)
-        token_ids = self.tokenizer.encode(text)[1:-1]
+        if transcript is not None:
+            token_ids = self.tokenizer.encode(transcript)[1:-1]
+            # teacher-forced: [sot]+text through the decoder in ONE launch;
+            # rows 1.. are the text tokens' cross attention (position
+            # conventions match training and the greedy decode path)
+            ids = jnp.asarray([[self.tokenizer.cls_id] + token_ids], jnp.int32)
+            mel = self.features(audio)
+            enc = self.model.apply(self.params, mel[None], method=WhisperModel.encode)
+            _, cross = self.model.apply(
+                self.params, ids, enc, True, method=WhisperModel.decode
+            )
+            n_frames = enc.shape[-2]
+            spans = token_times_from_cross_attention(cross, n_frames)[1:]
+        else:
+            token_ids, att = self._greedy_tokens(audio)
+            if not token_ids:
+                return []
+            spans = spans_from_attention(att)
         # per-token surface strings with a leading space marking word starts
         # (NOT decode([t]): that strips the WordPiece "##" marker and would
         # split multi-piece words); both tokenizer families implement this
         pieces = self.tokenizer.pieces_with_boundaries(token_ids)
-        mel = self.features(audio)
-        ids = jnp.asarray([token_ids], jnp.int32)
-        enc = self.model.apply(self.params, mel[None], method=WhisperModel.encode)
-        _, cross = self.model.apply(
-            self.params, ids, enc, True, method=WhisperModel.decode
-        )
-        n_frames = enc.shape[-2]
-        spans = token_times_from_cross_attention(cross, n_frames)
         words = group_word_times(pieces, spans)
         return [AlignedWord(min(w.start, dur), min(w.end, dur), w.word) for w in words]
 
-    def transcribe(self, audio: Audio, max_tokens: int = 128) -> str:
+    def _greedy_tokens(self, audio: Audio, max_tokens: int = 128) -> tuple[list[int], np.ndarray]:
+        """One device launch: greedy KV-cache transcription (make_greedy_fn)
+        → (text token ids, their cross-attention rows [n, F])."""
         if self.params is None or self.tokenizer is None:
             raise ValueError("WhisperAligner needs weights + tokenizer")
+        max_new = min(max_tokens, self.cfg.n_text_ctx - 1)
+        fn = self._greedy_cache.get(max_new)
+        if fn is None:
+            fn = make_greedy_fn(self.model, max_new)
+            self._greedy_cache[max_new] = fn
         mel = self.features(audio)
-        enc = self.model.apply(self.params, mel[None], method=WhisperModel.encode)
-        ids = [self.tokenizer.cls_id]
-        for _ in range(max_tokens):
-            logits, _ = self.model.apply(
-                self.params, jnp.asarray([ids], jnp.int32), enc, False, method=WhisperModel.decode
-            )
-            nxt = int(jnp.argmax(logits[0, -1]))
-            if nxt == self.tokenizer.sep_id:
-                break
-            ids.append(nxt)
-        return self.tokenizer.decode(ids)
+        tokens, att = fn(
+            self.params, mel[None], self.tokenizer.cls_id, self.tokenizer.sep_id
+        )
+        toks = np.asarray(tokens[0])
+        eots = np.nonzero(toks[1:] == self.tokenizer.sep_id)[0]
+        n = int(eots[0]) if eots.size else max_new
+        return list(int(t) for t in toks[1 : n + 1]), np.asarray(att[0, 1 : n + 1])
+
+    def transcribe(self, audio: Audio, max_tokens: int = 128) -> str:
+        token_ids, _ = self._greedy_tokens(audio, max_tokens)
+        return self.tokenizer.decode(token_ids)

@@ -362,6 +362,18 @@ def load_whisper_tokenizer(path: str | Path) -> ByteLevelBPE:
     return from_hf_tokenizer_json(p)
 
 
+def byte_level_french(base: int = 256) -> ByteLevelBPE:
+    """Compact byte-level vocabulary for the hermetically-pretrained French
+    Whisper checkpoint (align.pretrain_whisper): the 256 byte symbols are
+    the only text tokens (1 byte = 1 token — ideal for the compositional
+    per-character synthetic speech of align.synth_speech), with the full
+    Whisper special-token table at ``base``. Total vocab 1864 ids — small
+    enough to ship embedding weights in-repo. Any text round-trips."""
+    b2u = bytes_to_unicode()
+    vocab = {b2u[b]: b for b in range(256)}
+    return ByteLevelBPE(vocab=vocab, merges={}, specials=whisper_specials(base))
+
+
 def synthetic_multilingual() -> ByteLevelBPE:
     """Full 51865-id geometry without the published merge table: the 256
     byte symbols are the only real tokens (ids 0-255), fillers pad the BPE

@@ -39,6 +39,9 @@ class LLMConfig:
     lora_rank: int = 8  # QwenA.py:183
     lora_alpha: float = 16.0
     dtype: jnp.dtype = jnp.bfloat16
+    # weight-only base-kernel storage: None (float) | "int8" | "nf4"
+    # (QwenB.py:100-113 loads the 7B base in NF4; models.quant)
+    quant: str | None = None
 
     @classmethod
     def tiny(cls, vocab_size: int = 512) -> "LLMConfig":
@@ -93,9 +96,9 @@ class Attention(nn.Module):
         c = self.cfg
         hd = c.head_dim
         # q/k/v carry biases (Qwen2 convention); o does not
-        q = LoRADense(c.heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, name="q")(x)
-        k = LoRADense(c.kv_heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, name="k")(x)
-        v = LoRADense(c.kv_heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, name="v")(x)
+        q = LoRADense(c.heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, quant=c.quant, name="q")(x)
+        k = LoRADense(c.kv_heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, quant=c.quant, name="k")(x)
+        v = LoRADense(c.kv_heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, quant=c.quant, name="v")(x)
         B, L = x.shape[0], x.shape[1]
         q = q.reshape(B, L, c.heads, hd)
         k = k.reshape(B, L, c.kv_heads, hd)
@@ -118,7 +121,7 @@ class Attention(nn.Module):
         att = jnp.where(mask[:, None, :, :], att, jnp.finfo(att.dtype).min)
         att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", att, vv).reshape(B, L, c.heads * hd)
-        out = LoRADense(c.dim, c.lora_rank, c.lora_alpha, dtype=c.dtype, name="o")(out)
+        out = LoRADense(c.dim, c.lora_rank, c.lora_alpha, dtype=c.dtype, quant=c.quant, name="o")(out)
         return out, new_cache
 
 
@@ -128,9 +131,9 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        gate = LoRADense(c.ffn, c.lora_rank, c.lora_alpha, dtype=c.dtype, name="gate")(x)
-        up = LoRADense(c.ffn, c.lora_rank, c.lora_alpha, dtype=c.dtype, name="up")(x)
-        return LoRADense(c.dim, c.lora_rank, c.lora_alpha, dtype=c.dtype, name="down")(
+        gate = LoRADense(c.ffn, c.lora_rank, c.lora_alpha, dtype=c.dtype, quant=c.quant, name="gate")(x)
+        up = LoRADense(c.ffn, c.lora_rank, c.lora_alpha, dtype=c.dtype, quant=c.quant, name="up")(x)
+        return LoRADense(c.dim, c.lora_rank, c.lora_alpha, dtype=c.dtype, quant=c.quant, name="down")(
             jax.nn.silu(gate) * up
         )
 

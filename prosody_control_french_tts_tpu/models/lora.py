@@ -16,18 +16,45 @@ import jax.numpy as jnp
 
 
 class LoRADense(nn.Module):
+    """``quant`` selects weight-only storage for the BASE kernel
+    ("int8" per-channel / "nf4" blockwise-packed — models.quant): the
+    parameter tree then carries ("kernel_q", "kernel_scale") instead of
+    "kernel", dequantized to ``dtype`` in-program so XLA fuses the expand
+    into the matmul operand. Adapters/biases stay float32 (QLoRA recipe;
+    the reference's QwenB.py:100-136 NF4 base + f32 LoRA)."""
+
     features: int
     rank: int = 0
     alpha: float = 16.0
     use_bias: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x):
+        from .quant import NF4_BLOCK, dequant_int8, dequant_nf4
+
         in_f = x.shape[-1]
-        kernel = self.param("kernel", self.kernel_init, (in_f, self.features), jnp.float32)
-        y = jnp.dot(x, kernel.astype(self.dtype))
+        if self.quant == "int8":
+            q = self.param("kernel_q", nn.initializers.zeros, (in_f, self.features), jnp.int8)
+            s = self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
+            kernel_c = dequant_int8(q, s, self.dtype)
+        elif self.quant == "nf4":
+            q = self.param(
+                "kernel_q", nn.initializers.zeros, (in_f // 2, self.features), jnp.uint8
+            )
+            s = self.param(
+                "kernel_scale",
+                nn.initializers.ones,
+                (in_f // NF4_BLOCK, self.features),
+                jnp.float32,
+            )
+            kernel_c = dequant_nf4(q, s, self.dtype)
+        else:
+            kernel = self.param("kernel", self.kernel_init, (in_f, self.features), jnp.float32)
+            kernel_c = kernel.astype(self.dtype)
+        y = jnp.dot(x, kernel_c)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)

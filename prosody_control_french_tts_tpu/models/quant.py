@@ -1,0 +1,172 @@
+"""Weight-only quantization for the LLM stack (QwenB parity).
+
+The reference's stage-B model loads Qwen2.5-7B in 4-bit NF4 via
+bitsandbytes (Code/ssml_models/cascading_model/QwenB.py:100-113 —
+BitsAndBytesConfig(load_in_4bit=True, bnb_4bit_quant_type="nf4",
+bnb_4bit_compute_dtype=bfloat16)). TPU-native equivalent: weights are
+STORED quantized in the parameter tree (int8 per-output-channel, or
+NF4-codebook 4-bit blockwise packed two-per-byte) and dequantized to the
+compute dtype inside the jitted program, where XLA fuses the dequant into
+the consuming matmul's operand read. LoRA adapters, biases and norms stay
+float32 (the QLoRA recipe: quantized base, full-precision adapters).
+
+Why it matters on one v5e chip: 7B bf16 weights ≈ 15.2 GB exceed the
+16 GB HBM once KV caches exist; int8 ≈ 7.6 GB and NF4 ≈ 3.8 GB fit with
+room for serving batch.
+
+``quantize_params`` converts a float tree (hermetically trained, or ported
+via models.port_weights.qwen2_to_flax) into the tree that
+``DecoderLM(LLMConfig(quant=...))`` expects.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# The QLoRA NF4 codebook: 16 quantiles of N(0,1) normalised to [-1, 1]
+# (public constants from the QLoRA paper / bitsandbytes).
+NF4_TABLE = np.array(
+    [
+        -1.0,
+        -0.6961928009986877,
+        -0.5250730514526367,
+        -0.39491748809814453,
+        -0.28444138169288635,
+        -0.18477343022823334,
+        -0.09105003625154495,
+        0.0,
+        0.07958029955625534,
+        0.16093020141124725,
+        0.24611230194568634,
+        0.33791524171829224,
+        0.44070982933044434,
+        0.5626170039176941,
+        0.7229568362236023,
+        1.0,
+    ],
+    np.float32,
+)
+
+NF4_BLOCK = 64  # bitsandbytes' default blocksize
+
+# LoRADense projection names inside DecoderLM — the quantized set
+# (embed/lm_head stay in compute dtype, like the reference's skip_modules)
+_PROJ_NAMES = {"q", "k", "v", "o", "gate", "up", "down"}
+
+
+# ---------------------------------------------------------------------------
+# int8: per-output-channel absmax
+# ---------------------------------------------------------------------------
+
+
+def quantize_kernel_int8(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """f32 [in, out] → (int8 [in, out], f32 scale [out]) with symmetric
+    per-output-channel absmax scaling."""
+    w = np.asarray(w, np.float32)
+    scale = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
+    q = np.clip(np.rint(w / scale[None, :]), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def dequant_int8(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Jittable dequant — elementwise, fusable into the consuming dot."""
+    return (q.astype(jnp.float32) * scale[None, :].astype(jnp.float32)).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# NF4: blockwise absmax codebook, packed two codes per byte
+# ---------------------------------------------------------------------------
+
+
+def quantize_kernel_nf4(w: np.ndarray, block: int = NF4_BLOCK) -> tuple[np.ndarray, np.ndarray]:
+    """f32 [in, out] → (uint8 packed [in/2, out], f32 scale [in/block, out]).
+
+    Blocks run along the input dim (contraction axis). Codes are argmin
+    distance to the NF4 table of w/absmax(block); rows 2i (low nibble) and
+    2i+1 (high nibble) pack into byte i."""
+    w = np.asarray(w, np.float32)
+    in_f, out_f = w.shape
+    if in_f % block or in_f % 2:
+        raise ValueError(f"in_f {in_f} must be divisible by block {block} (and 2)")
+    blocks = w.reshape(in_f // block, block, out_f)
+    scale = np.maximum(np.abs(blocks).max(axis=1), 1e-12)  # [in/block, out]
+    normed = blocks / scale[:, None, :]
+    codes = np.abs(normed.reshape(in_f, out_f)[..., None] - NF4_TABLE).argmin(-1).astype(np.uint8)
+    packed = (codes[0::2] | (codes[1::2] << 4)).astype(np.uint8)
+    return packed, scale.astype(np.float32)
+
+
+def dequant_nf4(
+    packed: jnp.ndarray, scale: jnp.ndarray, dtype, block: int = NF4_BLOCK
+) -> jnp.ndarray:
+    """Jittable: unpack nibbles → codebook lookup → blockwise rescale."""
+    half, out_f = packed.shape
+    in_f = half * 2
+    lo = packed & jnp.uint8(0xF)
+    hi = (packed >> jnp.uint8(4)) & jnp.uint8(0xF)
+    codes = jnp.stack([lo, hi], axis=1).reshape(in_f, out_f)
+    w = jnp.take(jnp.asarray(NF4_TABLE), codes.astype(jnp.int32), axis=0)
+    s = jnp.repeat(scale.astype(jnp.float32), block, axis=0)
+    return (w * s).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# tree conversion
+# ---------------------------------------------------------------------------
+
+
+def quantize_params(params, mode: str, block: int = NF4_BLOCK):
+    """Float DecoderLM tree → quantized tree: every LoRADense projection's
+    "kernel" becomes ("kernel_q", "kernel_scale"); everything else (biases,
+    adapters, norms, embed, lm_head) passes through unchanged."""
+    if mode not in ("int8", "nf4"):
+        raise ValueError(f"unknown quant mode {mode!r}")
+
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            if name in _PROJ_NAMES and "kernel" in node:
+                out = {k: v for k, v in node.items() if k != "kernel"}
+                w = np.asarray(node["kernel"], np.float32)
+                if mode == "int8":
+                    q, s = quantize_kernel_int8(w)
+                else:
+                    q, s = quantize_kernel_nf4(w, block)
+                out["kernel_q"] = jnp.asarray(q)
+                out["kernel_scale"] = jnp.asarray(s)
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
+def dequantize_params(params, block: int = NF4_BLOCK):
+    """Inverse of ``quantize_params``: expand every ("kernel_q",
+    "kernel_scale") pair back to a float32 "kernel" (mode inferred from the
+    storage dtype: int8 → per-channel, uint8 → NF4 packed). Running the
+    FLOAT model on this tree must reproduce the quantized model's outputs
+    exactly — the correctness contract tests/test_quant.py checks."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel_q" in node:
+                out = {k: v for k, v in node.items() if k not in ("kernel_q", "kernel_scale")}
+                q, s = node["kernel_q"], node["kernel_scale"]
+                if np.asarray(q).dtype == np.int8:
+                    w = dequant_int8(jnp.asarray(q), jnp.asarray(s), jnp.float32)
+                else:
+                    w = dequant_nf4(jnp.asarray(q), jnp.asarray(s), jnp.float32, block)
+                out["kernel"] = w
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
+def quantized_bytes(params) -> int:
+    """Total parameter-tree bytes (the footprint figure for BENCH)."""
+    import jax
+
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))

@@ -69,11 +69,26 @@ def make_train_step(model: DecoderLM, tx, donate: bool = True):
     """
 
     def step_fn(params, opt_state, ids, loss_mask):
-        def loss_fn(p):
-            logits = model.apply(p, ids)
+        # Differentiate only float leaves: a quantized base (models.quant)
+        # stores int8/uint8 kernels in the tree, and jax.grad rejects
+        # integer inputs — the QLoRA shape is "quantized base frozen,
+        # float adapters trained", so integer leaves ride along as
+        # constants with zero updates.
+        flat, treedef = jax.tree_util.tree_flatten(params)
+        fidx = [i for i, x in enumerate(flat) if jnp.issubdtype(x.dtype, jnp.floating)]
+
+        def loss_fn(fvals):
+            merged = list(flat)
+            for i, v in zip(fidx, fvals):
+                merged[i] = v
+            logits = model.apply(jax.tree_util.tree_unflatten(treedef, merged), ids)
             return causal_lm_loss(logits, ids, loss_mask)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, fgrads = jax.value_and_grad(loss_fn)(tuple(flat[i] for i in fidx))
+        gflat = [jnp.zeros_like(x) for x in flat]
+        for i, g in zip(fidx, fgrads):
+            gflat[i] = g
+        grads = jax.tree_util.tree_unflatten(treedef, gflat)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

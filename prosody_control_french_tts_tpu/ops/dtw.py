@@ -54,6 +54,59 @@ def dtw_distance(a, b) -> float:
     return float(D[-1, -1])
 
 
+@jax.jit
+def monotonic_partition_costs(cost: jnp.ndarray) -> jnp.ndarray:
+    """Accumulated-cost matrix for the token↔frame monotonic-partition DP
+    used by whisper-timestamped-style cross-attention alignment
+    (align.whisper_jax.token_times_from_cross_attention): steps (1,1) and
+    (0,1), so every token owns a contiguous, non-empty frame span.
+
+    cost: [L, F] local costs → D [L+1, F+1] float32 with
+    D[0, :] = 0, D[i, 0] = INF (i ≥ 1),
+    D[i, j] = cost[i-1, j-1] + min(D[i-1, j-1], D[i, j-1]).
+
+    TPU formulation: the in-row recurrence R[j] = c[j] + min(P[j-1], R[j-1])
+    unrolls to R = S + cummin(P[:-1] − S₋₁) with S the row prefix-sum —
+    an associative scan (O(log F) depth) per row instead of an O(F)
+    sequential carry; rows advance under one lax.scan. Replaces the
+    reference-shaped O(L·F) Python double loop (the whisper-timestamped
+    technique runs this DP on host in torch/numpy).
+
+    Rows are computed top-down, so D[:n+1] is exactly the DP of cost[:n] —
+    callers may pad L to a bucket and slice the prefix they need.
+    """
+    F = cost.shape[1]
+    inf = jnp.float32(1e30)
+
+    def row_step(prev, c):
+        s = jnp.cumsum(c)
+        shifted = jnp.concatenate([jnp.zeros((1,), s.dtype), s[:-1]])
+        best_entry = jax.lax.associative_scan(jnp.minimum, prev[:-1] - shifted)
+        row = jnp.concatenate([jnp.full((1,), inf), s + best_entry])
+        return row, row
+
+    first = jnp.zeros((F + 1,), jnp.float32)
+    _, rows = jax.lax.scan(row_step, first, cost.astype(jnp.float32))
+    return jnp.concatenate([first[None, :], rows], axis=0)
+
+
+def monotonic_partition_backtrack(D: np.ndarray) -> np.ndarray:
+    """Host backtrack (O(L+F)) over a ``monotonic_partition_costs`` prefix:
+    → [L, 2] frame spans (start, end). Tie rule: diagonal wins, matching
+    the fill order (choice = D[i-1, j-1] <= D[i, j-1])."""
+    n_tok = D.shape[0] - 1
+    spans = np.zeros((n_tok, 2))
+    i, j = n_tok, D.shape[1] - 1
+    end_j = j
+    while i > 0 and j > 0:
+        if D[i - 1, j - 1] <= D[i, j - 1]:
+            spans[i - 1] = (j - 1, end_j)
+            i -= 1
+            end_j = j - 1
+        j -= 1
+    return spans
+
+
 def dtw_path(a, b) -> tuple[float, list[tuple[int, int]]]:
     """(distance, path) — path as (i, j) index pairs, fastdtw-style."""
     a_j = jnp.asarray(a, jnp.float32)

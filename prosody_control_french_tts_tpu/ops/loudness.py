@@ -241,7 +241,11 @@ def windowed_loudness(
     nblocks = _num_blocks(dur.astype(jnp.float32), rate)
     T = x.shape[-1]
     G = BLOCK_SECONDS * rate * (1.0 - OVERLAP)  # block stride in samples
-    if float(G).is_integer():
+    # tolerance gate, not is_integer(): G is a float product, and a rate
+    # whose product rounds off-integer by an ulp would otherwise silently
+    # drop to the ~17 ms gather path
+    if abs(G - round(G)) < 1e-6:
+        G = round(G)
         # Grid-cumsum formulation (all standard rates: G integer). The
         # gather formulation below costs ~50 ns/element on TPU and needs
         # 4·mb lookups per window (measured 17 ms of the 50 ms measure

@@ -439,14 +439,22 @@ def _top_k(score: jnp.ndarray, k: int, force: str | None = None):
     if not use_iter:
         return jax.lax.top_k(score, k)
     lanes = jnp.arange(score.shape[-1])
-    cur = score
+    taken = jnp.zeros(score.shape, bool)
     vals, idxs = [], []
     for _ in range(k):
+        cur = jnp.where(taken, -jnp.inf, score)
         i = jnp.argmax(cur, axis=-1)
+        v = jnp.take_along_axis(cur, i[..., None], axis=-1)[..., 0]
+        # rows with fewer than k finite entries: argmax over an all(-inf)
+        # residue always lands on lane 0, which may already be taken — fall
+        # back to the first untaken lane so indices stay distinct (the
+        # lax.top_k contract: -inf duplicates come out in index order)
+        first_untaken = jnp.argmax(~taken, axis=-1)
+        i = jnp.where(jnp.isfinite(v), i, first_untaken).astype(jnp.int32)
         v = jnp.take_along_axis(cur, i[..., None], axis=-1)[..., 0]
         vals.append(v)
         idxs.append(i)
-        cur = jnp.where(lanes == i[..., None], -jnp.inf, cur)
+        taken = taken | (lanes == i[..., None])
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
 
 

@@ -42,6 +42,15 @@ def _spec_for(path: tuple[str, ...], shape: tuple[int, ...]) -> P:
         if parent == "lm_head":
             return P(None, "model")
         return P()
+    if leaf == "kernel_q":
+        # quantized storage (models.quant): int8 [in, out] and NF4-packed
+        # [in/2, out] both keep the kernel's row/column orientation
+        return P(None, "model") if parent in _COL else P("model", None) if parent in _ROW else P()
+    if leaf == "kernel_scale":
+        if len(shape) == 1:  # int8 per-output-channel scale [out]
+            return P("model") if parent in _COL else P()
+        # nf4 blockwise scale [in/block, out] follows the kernel layout
+        return P(None, "model") if parent in _COL else P("model", None) if parent in _ROW else P()
     return P()
 
 

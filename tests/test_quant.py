@@ -1,0 +1,173 @@
+"""Weight-only quantization (models.quant): kernel roundtrip bounds,
+end-to-end logit parity vs the float model, QLoRA-style training with a
+frozen quantized base, and TP sharding specs for quantized trees.
+
+Reference parity target: Code/ssml_models/cascading_model/QwenB.py:100-113
+loads Qwen2.5-7B 4-bit NF4 (bitsandbytes) under float LoRA adapters.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from prosody_control_french_tts_tpu.models.llm import DecoderLM, LLMConfig, greedy_generate
+from prosody_control_french_tts_tpu.models.quant import (
+    NF4_BLOCK,
+    dequant_int8,
+    dequant_nf4,
+    quantize_kernel_int8,
+    quantize_kernel_nf4,
+    quantize_params,
+    quantized_bytes,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = LLMConfig.tiny()
+    model = DecoderLM(cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 16)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    return cfg, model, ids, params
+
+
+class TestKernels:
+    def test_int8_roundtrip(self):
+        w = np.random.default_rng(1).normal(size=(128, 64)).astype(np.float32) * 0.05
+        q, s = quantize_kernel_int8(w)
+        assert q.dtype == np.int8 and s.shape == (64,)
+        back = np.asarray(dequant_int8(jnp.asarray(q), jnp.asarray(s), jnp.float32))
+        # symmetric absmax: error ≤ scale/2 per channel
+        assert np.all(np.abs(back - w) <= s[None, :] * 0.5 + 1e-8)
+
+    def test_nf4_roundtrip(self):
+        w = np.random.default_rng(2).normal(size=(128, 32)).astype(np.float32)
+        p, s = quantize_kernel_nf4(w)
+        assert p.dtype == np.uint8 and p.shape == (64, 32)
+        assert s.shape == (128 // NF4_BLOCK, 32)
+        back = np.asarray(dequant_nf4(jnp.asarray(p), jnp.asarray(s), jnp.float32))
+        # largest adjacent-codebook gap is 0.304·absmax → half-gap 0.152
+        blocks_absmax = np.repeat(s, NF4_BLOCK, axis=0)
+        assert np.all(np.abs(back - w) <= blocks_absmax * 0.152 + 1e-8)
+
+    def test_nf4_rejects_bad_shapes(self):
+        with pytest.raises(ValueError):
+            quantize_kernel_nf4(np.zeros((100, 8), np.float32))
+
+
+class TestModelParity:
+    def test_quantized_forward_exact_vs_dequantized(self, tiny_setup):
+        """Correctness contract: the in-program dequant path computes
+        EXACTLY what the float model computes on host-dequantized weights
+        (f32 compute on both sides isolates the quant machinery from
+        bf16 noise)."""
+        from prosody_control_french_tts_tpu.models.quant import dequantize_params
+
+        cfg, _, ids, _ = tiny_setup
+        cfg32 = dataclasses.replace(cfg, dtype=jnp.float32)
+        model32 = DecoderLM(cfg32)
+        params = model32.init(jax.random.PRNGKey(0), ids)
+        for mode in ("int8", "nf4"):
+            qp = quantize_params(params, mode)
+            qmodel = DecoderLM(dataclasses.replace(cfg32, quant=mode))
+            out_q = np.asarray(qmodel.apply(qp, ids), np.float32)
+            out_f = np.asarray(model32.apply(dequantize_params(qp), ids), np.float32)
+            np.testing.assert_allclose(out_q, out_f, rtol=1e-5, atol=1e-5)
+
+    def test_logit_drift_and_footprint(self, tiny_setup):
+        """Approximation quality: random-init tiny nets amplify weight
+        error (per-matmul absmax/127 noise compounds through layers), so
+        the drift bounds are the empirically-calibrated envelopes for this
+        geometry — int8 a few %, NF4 tens of % at random init; trained
+        7B-class nets sit far inside these (the QLoRA result). The exact
+        contract above is the correctness test; this one pins storage
+        footprint and catches gross regressions."""
+        cfg, model, ids, params = tiny_setup
+        base = np.asarray(model.apply(params, ids), np.float32)
+        scale = np.abs(base).max()
+
+        from prosody_control_french_tts_tpu.models.quant import _PROJ_NAMES
+
+        def kernel_bytes(tree):
+            total = 0
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+                names = [getattr(k, "key", "") for k in path]
+                if names[-1].startswith("kernel") and names[-2] in _PROJ_NAMES:
+                    total += leaf.size * leaf.dtype.itemsize
+            return total
+
+        fb = kernel_bytes(params)
+        for mode, tol, shrink in (("int8", 6e-2, 3.5), ("nf4", 0.6, 6.0)):
+            qp = quantize_params(params, mode)
+            qmodel = DecoderLM(dataclasses.replace(cfg, quant=mode))
+            out = np.asarray(qmodel.apply(qp, ids), np.float32)
+            drift = np.abs(out - base).max() / scale
+            assert drift < tol, f"{mode}: relative logit drift {drift}"
+            # projection storage (kernel_q + kernel_scale vs f32 kernel):
+            # int8 ≈ 4×, NF4 ≈ 8× minus scale overhead
+            assert kernel_bytes(qp) < fb / shrink, f"{mode}: {kernel_bytes(qp)} vs {fb}"
+
+    def test_greedy_generate_quantized(self, tiny_setup):
+        cfg, model, ids, params = tiny_setup
+        qp = quantize_params(params, "int8")
+        qcfg = dataclasses.replace(cfg, quant="int8")
+        qmodel = DecoderLM(qcfg)
+        toks = np.asarray(greedy_generate(qmodel, qp, ids[:1, :8], max_new=4))
+        assert toks.shape == (1, 12)
+        # uncached forward agrees with the cached decode chain
+        cur = ids[:1, :8]
+        for t in range(4):
+            nxt = int(jnp.argmax(qmodel.apply(qp, cur)[0, -1]))
+            assert nxt == int(toks[0, 8 + t])
+            cur = jnp.concatenate([cur, jnp.asarray([[nxt]], jnp.int32)], axis=1)
+
+
+class TestQLoRATraining:
+    def test_train_step_quantized_base(self, tiny_setup):
+        from prosody_control_french_tts_tpu.models.training import init_train, make_train_step
+
+        cfg, _, ids, _ = tiny_setup
+        qcfg = dataclasses.replace(cfg, quant="nf4")
+        model, tx, state = init_train(qcfg, lr=1e-2, accum=1)
+        # the init tree must carry quantized storage for every projection
+        attn = state.params["params"]["layer_0"]["attn"]["q"]
+        assert "kernel_q" in attn and "kernel" not in attn
+        step = make_train_step(model, tx, donate=False)
+        lm = jnp.ones_like(ids, jnp.float32)
+        p1, opt1, loss1 = step(state.params, state.opt_state, ids, lm)
+        _, _, loss2 = step(p1, opt1, ids, lm)
+        assert float(loss2) < float(loss1)
+        # quantized base frozen bit-for-bit; adapters moved
+        np.testing.assert_array_equal(
+            np.asarray(attn["kernel_q"]),
+            np.asarray(p1["params"]["layer_0"]["attn"]["q"]["kernel_q"]),
+        )
+        assert not np.allclose(
+            np.asarray(attn["lora_b"]),
+            np.asarray(p1["params"]["layer_0"]["attn"]["q"]["lora_b"]),
+        )
+
+
+class TestQuantSharding:
+    def test_llm_param_spec_quantized(self, tiny_setup):
+        from jax.sharding import PartitionSpec as P
+
+        from prosody_control_french_tts_tpu.parallel.sharding import llm_param_spec
+
+        _, _, _, params = tiny_setup
+        for mode in ("int8", "nf4"):
+            specs = llm_param_spec(quantize_params(params, mode))
+            attn = specs["params"]["layer_0"]["attn"]
+            mlp = specs["params"]["layer_0"]["mlp"]
+            assert attn["q"]["kernel_q"] == P(None, "model")
+            assert attn["o"]["kernel_q"] == P("model", None)
+            if mode == "int8":
+                assert attn["q"]["kernel_scale"] == P("model")
+                assert attn["o"]["kernel_scale"] == P()
+            else:
+                assert attn["q"]["kernel_scale"] == P(None, "model")
+                assert mlp["down"]["kernel_scale"] == P("model", None)
