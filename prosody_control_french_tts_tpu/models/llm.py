@@ -18,6 +18,7 @@ qkv/gate/up column-split, o/down row-split), and the train step in
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import flax.linen as nn
 import jax
@@ -114,13 +115,16 @@ class Attention(nn.Module):
         else:
             new_cache = None
 
+        # GQA without materializing repeated K/V: queries fold into
+        # [kv_heads, group] so K/V are read once from HBM — with a cached
+        # decode at S=512 the jnp.repeat formulation streamed group× the
+        # cache bytes every step
         group = c.heads // c.kv_heads
-        kk = jnp.repeat(k, group, axis=2)
-        vv = jnp.repeat(v, group, axis=2)
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, kk) / jnp.sqrt(hd).astype(q.dtype)
-        att = jnp.where(mask[:, None, :, :], att, jnp.finfo(att.dtype).min)
+        qg = q.reshape(B, L, c.kv_heads, group, hd)
+        att = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) / jnp.sqrt(hd).astype(q.dtype)
+        att = jnp.where(mask[:, None, None, :, :], att, jnp.finfo(att.dtype).min)
         att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", att, vv).reshape(B, L, c.heads * hd)
+        out = jnp.einsum("bhgqk,bkhd->bqhgd", att, v).reshape(B, L, c.heads * hd)
         out = LoRADense(c.dim, c.lora_rank, c.lora_alpha, dtype=c.dtype, quant=c.quant, name="o")(out)
         return out, new_cache
 
@@ -209,10 +213,18 @@ def causal_lm_loss(logits, ids, loss_mask):
 
 
 def greedy_generate(model: DecoderLM, params, prompt_ids, max_new: int, eos_id: int | None = None):
-    """KV-cache greedy decoding under one jit (lax.while_loop).
+    """KV-cache greedy decoding — prefill + lax.while_loop decode compiled
+    as ONE program (a single executable launch per call; the eager variant
+    paid one dispatch per op for the prefill, which over the ~30 ms-launch
+    axon tunnel dwarfed the on-chip work).
 
     prompt_ids: [B, P] (right-padded prompts not supported here — serve
     fixed-length prompts or left-pad upstream)."""
+    return _greedy_impl(model, params, prompt_ids, max_new, eos_id)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _greedy_impl(model: DecoderLM, params, prompt_ids, max_new: int, eos_id: int | None):
     cfg = model.cfg
     B, P = prompt_ids.shape
     total = P + max_new

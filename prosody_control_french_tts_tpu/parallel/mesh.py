@@ -33,6 +33,35 @@ def local_mesh(model_parallel: int | None = None) -> Mesh:
     return make_mesh(n // model_parallel, model_parallel)
 
 
+_PRODUCTION_CACHE: dict = {}
+
+
+def production_data_mesh() -> Mesh | None:
+    """The mesh the PRODUCTION measure path shards its corpus batch over
+    (core.pipeline / core.batch_runner → prosody.measure: computation
+    follows data, the [S, …] batch axis carries P("data")).
+
+    Defaults: all visible devices on an accelerator platform, disabled on
+    CPU (virtual CPU meshes are a test fixture — tests opt in). Env
+    override ``PCFT_DATA_MESH``: ``0`` disables, ``N`` uses the first N
+    devices (any platform). Returns None when only one device would
+    participate."""
+    import os
+
+    env = os.environ.get("PCFT_DATA_MESH")
+    devices = jax.devices()
+    key = (env, len(devices), devices[0].platform)
+    if key in _PRODUCTION_CACHE:
+        return _PRODUCTION_CACHE[key]
+    if env is not None:
+        n = min(len(devices), int(env))
+    else:
+        n = len(devices) if devices[0].platform != "cpu" else 1
+    mesh = Mesh(np.asarray(devices[:n]), ("data",)) if n > 1 else None
+    _PRODUCTION_CACHE[key] = mesh
+    return mesh
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

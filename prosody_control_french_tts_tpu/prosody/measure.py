@@ -158,6 +158,35 @@ def _measure_device(
     return p_syn, p_seg, l_nat_syn, l_nat_seg, l_raw_syn, l_raw_seg
 
 
+def _corpus_to_device(args7):
+    """Place one bucket's 7 [S, …] arrays on device. Single device:
+    plain jnp.asarray. Multi-device (parallel.mesh.production_data_mesh —
+    all chips on an accelerator, env-opt-in elsewhere): pad the batch axis
+    to the data-axis size and shard it P("data") — _measure_device is pure
+    vmap over S, so GSPMD partitions every kernel with no collectives and
+    per-row results are unchanged (tests/test_production_mesh.py asserts
+    parity). Padded rows are zero signals → all-unvoiced, masked windows;
+    callers slice real rows by offset so pad rows are never read."""
+    from ..parallel.mesh import production_data_mesh
+
+    mesh = production_data_mesh()
+    if mesh is None:
+        return [jnp.asarray(a) for a in args7]
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    nd = mesh.shape["data"]
+    sh = NamedSharding(mesh, P("data"))
+    out = []
+    for a in args7:
+        a = np.asarray(a)
+        S = a.shape[0]
+        Sp = ((S + nd - 1) // nd) * nd
+        if Sp != S:
+            a = np.pad(a, [(0, Sp - S)] + [(0, 0)] * (a.ndim - 1))
+        out.append(jax.device_put(a, sh))
+    return out
+
+
 _FUSED_CACHE: dict = {}
 
 
@@ -193,7 +222,7 @@ def measure_buckets_fused(arg_sets, statics):
 
         fn = jax.jit(impl)
         _FUSED_CACHE[key] = fn
-    flat = [jnp.asarray(x) for s in arg_sets for x in s]
+    flat = [x for s in arg_sets for x in _corpus_to_device(list(s))]
     return fn(*flat)
 
 
@@ -394,20 +423,19 @@ def prepare_voice(
 
 
 def run_measure_device(prep: PreparedVoice, pp: PitchParams):
+    S = prep.nat.shape[0]
+    dev = _corpus_to_device(
+        [prep.nat, prep.nat_len, prep.raw_for_device, prep.raw_len_dev,
+         prep.win_nat, prep.win_raw_dev, prep.mask]
+    )
     out = _measure_device(
-        jnp.asarray(prep.nat),
-        jnp.asarray(prep.nat_len),
-        jnp.asarray(prep.raw_for_device),
-        jnp.asarray(prep.raw_len_dev),
-        jnp.asarray(prep.win_nat),
-        jnp.asarray(prep.win_raw_dev),
-        jnp.asarray(prep.mask),
+        *dev,
         rate=float(prep.rate),
         T=int(prep.nat.shape[1]),
         T2=int(prep.raw_for_device.shape[1]),
         pp=pp,
     )
-    return tuple(np.asarray(o) for o in out)
+    return tuple(np.asarray(o)[:S] for o in out)
 
 
 def postprocess_voice(prep: PreparedVoice, outputs, settings: ProsodySettings) -> MeasureResult:
@@ -632,10 +660,12 @@ def _dispatch_group(items, pp: PitchParams):
     returns (items, lazy device outputs)."""
     if len(items) == 1:
         prep = items[0][1]
+        dev = _corpus_to_device(
+            [prep.nat, prep.nat_len, prep.raw_for_device, prep.raw_len_dev,
+             prep.win_nat, prep.win_raw_dev, prep.mask]
+        )
         lazy = _measure_device(
-            jnp.asarray(prep.nat), jnp.asarray(prep.nat_len),
-            jnp.asarray(prep.raw_for_device), jnp.asarray(prep.raw_len_dev),
-            jnp.asarray(prep.win_nat), jnp.asarray(prep.win_raw_dev), jnp.asarray(prep.mask),
+            *dev,
             rate=float(prep.rate), T=int(prep.nat.shape[1]),
             T2=int(prep.raw_for_device.shape[1]), pp=pp,
         )
@@ -643,6 +673,6 @@ def _dispatch_group(items, pp: PitchParams):
 
     args, (rate, T, T2) = _group_args(items)
     lazy = _measure_device(
-        *(jnp.asarray(a) for a in args), rate=rate, T=T, T2=T2, pp=pp
+        *_corpus_to_device(list(args)), rate=rate, T=T, T2=T2, pp=pp
     )
     return items, lazy
