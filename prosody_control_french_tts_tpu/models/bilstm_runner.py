@@ -26,9 +26,17 @@ log = logging.getLogger(__name__)
 
 
 def embed_sentences(
-    texts: list[str], tokenizer: WordPieceTokenizer, cfg: BertConfig | None = None, params=None, batch: int = 64
+    texts: list[str],
+    tokenizer: WordPieceTokenizer,
+    cfg: BertConfig | None = None,
+    params=None,
+    batch: int = 64,
+    seed: int = 0,
 ) -> np.ndarray:
-    """Mean-pooled normalized embeddings [N, hidden]."""
+    """Mean-pooled normalized embeddings [N, hidden]. ``seed`` picks the
+    encoder init when no params are given — the substitution-contract tests
+    (tests/test_sentence_encoder_drift.py) measure that downstream results
+    do not hinge on any one initialization."""
     cfg = cfg or BertConfig.tiny(vocab_size=len(tokenizer))
     enc = SentenceEncoder(cfg)
     ids = np.full((len(texts), cfg.max_len), tokenizer.pad_id, np.int32)
@@ -37,7 +45,7 @@ def embed_sentences(
         ids[i, : len(e)] = e
     mask = ids != tokenizer.pad_id
     if params is None:
-        params = enc.init(jax.random.PRNGKey(0), jnp.asarray(ids[:1]), jnp.asarray(mask[:1]))
+        params = enc.init(jax.random.PRNGKey(seed), jnp.asarray(ids[:1]), jnp.asarray(mask[:1]))
 
     fwd = jax.jit(lambda p, ids, mask: enc.apply(p, ids, mask))
 
