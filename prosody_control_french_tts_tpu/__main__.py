@@ -223,10 +223,13 @@ def main(argv: list[str] | None = None):
 
         ap = argparse.ArgumentParser(prog="pretrain-masknet")
         ap.add_argument("--out", default=str(PACKAGED_WEIGHTS))
-        ap.add_argument("--mixtures", type=int, default=192)
-        ap.add_argument("--epochs", type=int, default=8)
+        ap.add_argument("--mixtures", type=int, default=256)
+        ap.add_argument("--epochs", type=int, default=10)
+        ap.add_argument("--plain", action="store_true", help="round-2 chords-only recipe")
         args = ap.parse_args(rest)
-        _, gain = pretrain_masknet(args.out, n_mixtures=args.mixtures, epochs=args.epochs)
+        _, gain = pretrain_masknet(
+            args.out, n_mixtures=args.mixtures, epochs=args.epochs, realistic=not args.plain
+        )
         print(f"held-out SI-SNR gain {gain:.2f} dB -> {args.out}")
         return 0
     if cmd == "bench":

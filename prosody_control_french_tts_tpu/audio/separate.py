@@ -168,47 +168,185 @@ def synth_music(duration_s: float, rate: int = 16000, seed: int = 0) -> np.ndarr
     return (0.5 * out / peak).astype(np.float32)
 
 
-# ---------------------------------------------------------------------------
-# pretraining on synthetic mixtures
-# ---------------------------------------------------------------------------
+def _pink_noise(n: int, rng: np.random.Generator) -> np.ndarray:
+    """1/f-shaped broadband noise (spectral slope of real room/program
+    beds), via rfft shaping."""
+    w = rng.standard_normal(n)
+    spec = np.fft.rfft(w)
+    f = np.arange(spec.size, dtype=np.float64)
+    spec = spec / np.sqrt(np.maximum(f, 1.0))
+    out = np.fft.irfft(spec, n)
+    return (out / (np.std(out) + 1e-9)).astype(np.float32)
 
 
-def _make_pairs(n: int, seed: int, rate: int = 16000):
+def _comb_reverb(x: np.ndarray, rate: int, rng: np.random.Generator) -> np.ndarray:
+    """Cheap Schroeder-style reverb: a few feedback combs + damping —
+    enough to smear transients the way real rooms do."""
+    out = np.array(x, np.float64)
+    for delay_ms, gain in ((31.0, 0.45), (43.0, 0.35), (59.0, 0.25)):
+        d = int((delay_ms + rng.uniform(-3, 3)) * rate / 1000.0)
+        # IIR comb y[n] = x[n] + g·y[n−d], block-propagated d samples a time
+        y = np.array(out)
+        for k in range(1, len(y) // d + 1):
+            seg = slice(k * d, min((k + 1) * d, len(y)))
+            prev = slice((k - 1) * d, (k - 1) * d + (seg.stop - seg.start))
+            y[seg] += gain * y[prev]
+        out = y
+    return (out / (np.max(np.abs(out)) + 1e-9) * (np.max(np.abs(x)) + 1e-9)).astype(np.float32)
+
+
+BED_KINDS = ("chords", "noise", "reverb_chords", "babble")
+
+
+def synth_bed(duration_s: float, rate: int = 16000, seed: int = 0, kind: str = "chords") -> np.ndarray:
+    """Interference bed of the given kind — the spread of program material
+    a real narration sits on (VERDICT r2 #8: synth_music alone models only
+    clean tonal beds):
+
+    - ``chords``: the tonal pad/bass/percussion generator (synth_music);
+    - ``noise``: 1/f broadband bed (room tone, hiss, crowd wash);
+    - ``reverb_chords``: the tonal bed smeared by comb reverb;
+    - ``babble``: overlapped synthetic speech — the hardest case, energy
+      statistics matching the foreground.
+    """
+    rng = np.random.default_rng(seed)
+    n = int(duration_s * rate)
+    if kind == "chords":
+        return synth_music(duration_s, rate, seed)
+    if kind == "noise":
+        return (0.5 * _pink_noise(n, rng)).astype(np.float32)
+    if kind == "reverb_chords":
+        return _comb_reverb(synth_music(duration_s, rate, seed), rate, rng)
+    if kind == "babble":
+        from ..align.synth_speech import SynthSpec, sample_sentences, synth_sentence
+
+        spec = SynthSpec(sample_rate=rate)
+        out = np.zeros(n, np.float32)
+        for v in range(3):
+            sent = sample_sentences(1, seed=seed + 31 * v + 7)[0]
+            s, _ = synth_sentence(sent, spec, seed=seed + 97 * v)
+            off = int(rng.uniform(0, max(n - s.size, 1)))
+            seg = s[: max(n - off, 0)]
+            out[off : off + seg.size] += 0.5 * seg
+        peak = np.max(np.abs(out)) + 1e-9
+        return (0.5 * out / peak).astype(np.float32)
+    raise ValueError(f"unknown bed kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# pretraining on synthetic + real-speech mixtures
+# ---------------------------------------------------------------------------
+
+REAL_CORPUS = Path("/root/reference/Data/voice/records/audio")
+
+
+def real_speech_windows(
+    rate: int = 16000, window_s: float = 4.0, segments: tuple[int, ...] = (2, 3, 4, 5, 6, 7, 8, 9)
+) -> list[np.ndarray]:
+    """Clean REAL French narration windows from the bundled corpus (data
+    fixture, not code) — ground-truth vocals for mixture training.
+    Segments 10/11 are reserved for held-out evaluation."""
+    from ..utils.wavio import read_wav, resample
+
+    out = []
+    for nseg in segments:
+        p = REAL_CORPUS / f"segment_ph{nseg}.wav"
+        if not p.exists():
+            continue
+        a = read_wav(p).to_mono()
+        if a.rate != rate:
+            a = resample(a, rate)
+        x = np.asarray(a.samples, np.float32)
+        w = int(window_s * rate)
+        for s in range(0, x.size - w + 1, w):
+            win = x[s : s + w]
+            if np.std(win) > 1e-3:  # skip near-silent windows
+                out.append(win)
+    return out
+
+
+def _mix_at_snr(speech: np.ndarray, bed: np.ndarray, snr_db: float) -> np.ndarray:
+    g = 10.0 ** (-snr_db / 20.0) * (np.std(speech) + 1e-9) / (np.std(bed) + 1e-9)
+    return (speech + g * bed[: speech.size]).astype(np.float32)
+
+
+def _make_pairs(n: int, seed: int, rate: int = 16000, realistic: bool = True):
+    """(mixture, clean-vocals) pairs. ``realistic`` (the packaged recipe)
+    draws bed kinds from BED_KINDS, SNRs from −5..15 dB, and replaces a
+    third of the synthetic vocals with REAL narration windows — plain
+    synth_music chords at 0..12 dB otherwise (the round-2 recipe, kept for
+    the regression tests)."""
     from ..align.synth_speech import SynthSpec, sample_sentences, synth_sentence
 
     spec = SynthSpec(sample_rate=rate)
     rng = np.random.default_rng(seed)
+    real = real_speech_windows(rate) if realistic else []
     pairs = []
     for i, sent in enumerate(sample_sentences(n, seed=seed, min_words=4, max_words=8)):
-        speech, _ = synth_sentence(sent, spec, seed=seed + i)
+        if realistic and real and i % 3 == 2:
+            speech = real[int(rng.integers(0, len(real)))]
+        else:
+            speech, _ = synth_sentence(sent, spec, seed=seed + i)
         # +0.1 s margin: int(duration*rate) can round one sample short
-        music = synth_music(speech.size / rate + 0.1, rate, seed=seed + 10_000 + i)[: speech.size]
-        snr_db = rng.uniform(0.0, 12.0)
-        g = 10.0 ** (-snr_db / 20.0) * (np.std(speech) + 1e-9) / (np.std(music) + 1e-9)
-        pairs.append((speech + g * music, speech))
+        kind = BED_KINDS[int(rng.integers(0, len(BED_KINDS)))] if realistic else "chords"
+        bed = synth_bed(speech.size / rate + 0.1, rate, seed=seed + 10_000 + i, kind=kind)
+        snr_db = rng.uniform(-5.0, 15.0) if realistic else rng.uniform(0.0, 12.0)
+        pairs.append((_mix_at_snr(speech, bed, snr_db), speech))
     return pairs
 
 
+def real_mixture_eval(
+    sep: "MaskSeparator", seed: int = 0, rate: int = 16000, snrs=(0.0, 5.0, 10.0)
+) -> float:
+    """Mean SI-SNR improvement on mixtures of HELD-OUT real narration
+    (segments 10/11, never in training) with held-out beds of every kind —
+    the realistic-material figure VERDICT r2 #8 asks to record."""
+    clips = real_speech_windows(rate, segments=(10, 11))
+    if not clips:
+        return float("nan")
+    rng = np.random.default_rng(seed)
+    gains = []
+    for i, clip in enumerate(clips[:8]):
+        kind = BED_KINDS[i % len(BED_KINDS)]
+        bed = synth_bed(clip.size / rate + 0.1, rate, seed=seed + 777 + i, kind=kind)
+        mix = _mix_at_snr(clip, bed, float(snrs[i % len(snrs)]))
+        est = np.asarray(sep.separate(Audio(mix, rate)).samples, np.float32)
+        m = min(est.size, clip.size)
+        gains.append(si_snr_db(est[:m], clip[:m]) - si_snr_db(mix[:m], clip[:m]))
+    return float(np.mean(gains))
+
+
 def _prep_batches(pairs, batch: int):
-    specs = []
-    for mix, clean in pairs:
-        sm = np.asarray(stft(jnp.asarray(mix), N_FFT, HOP))
-        sc = np.asarray(stft(jnp.asarray(clean), N_FFT, HOP))
-        specs.append((np.abs(sm).T, np.abs(sc).T))  # [T', F]
-    Tm = max(s[0].shape[0] for s in specs)
-    Tm = int(np.ceil(Tm / 16) * 16)
-    n = (len(specs) // batch) * batch
-    if n < len(specs):
-        log.info("dropping %d mixtures to fill %d-sized batches", len(specs) - n, batch)
-    F = specs[0][0].shape[1]
-    mix = np.zeros((n, Tm, F), np.float32)
-    clean = np.zeros((n, Tm, F), np.float32)
+    """Fixed-shape batched featurisation: waveforms zero-pad to one
+    bucketed corpus length and go through ONE compiled batched stft in
+    chunks. (The per-pair variable-shape stft it replaces compiled one
+    executable per distinct clip length and pulled each result over the
+    device link separately — hundreds of distinct executables, which the
+    remote TPU backend answers with UNIMPLEMENTED transfer errors; see
+    ROADMAP 'mid-suite' note.)"""
+    n = (len(pairs) // batch) * batch
+    if n < len(pairs):
+        log.info("dropping %d mixtures to fill %d-sized batches", len(pairs) - n, batch)
+    Tmax = max(m.size for m, _ in pairs[:n])
+    Tmax = int(np.ceil(Tmax / (HOP * 64)) * (HOP * 64))  # frame-bucketed
+    wav = np.zeros((2 * n, Tmax), np.float32)
+    for i, (m, c) in enumerate(pairs[:n]):
+        wav[2 * i, : m.size] = m
+        wav[2 * i + 1, : c.size] = c
+    mags = []
+    CH = 16
+    for s in range(0, wav.shape[0], CH):
+        chunk = wav[s : s + CH]
+        if chunk.shape[0] < CH:  # keep one program shape
+            chunk = np.pad(chunk, ((0, CH - chunk.shape[0]), (0, 0)))
+        mags.append(np.abs(np.asarray(stft(jnp.asarray(chunk), N_FFT, HOP))))
+    mag = np.concatenate(mags)[: 2 * n].transpose(0, 2, 1)  # [2n, T', F]
+    Tm = mag.shape[1]
+    mix = np.ascontiguousarray(mag[0::2])
+    clean = np.ascontiguousarray(mag[1::2])
     valid = np.zeros((n, Tm), bool)
-    for i in range(n):
-        m, c = specs[i]
-        mix[i, : m.shape[0]] = m
-        clean[i, : c.shape[0]] = c
-        valid[i, : m.shape[0]] = True
+    for i, (m, _) in enumerate(pairs[:n]):
+        valid[i, : min(1 + m.size // HOP, Tm)] = True
     return mix, clean, valid
 
 
@@ -222,20 +360,25 @@ def si_snr_db(est: np.ndarray, ref: np.ndarray) -> float:
 
 def pretrain_masknet(
     out_path: str | Path = PACKAGED_WEIGHTS,
-    n_mixtures: int = 192,
-    epochs: int = 8,
+    n_mixtures: int = 256,
+    epochs: int = 10,
     batch: int = 4,
     lr: float = 3e-4,
     seed: int = 0,
     target_si_snr_gain_db: float = 5.0,
+    realistic: bool = True,
+    target_real_gain_db: float = 3.0,
 ) -> tuple["MaskSeparator", float]:
-    """Train on synthetic speech+music mixtures; gate on held-out SI-SNR
-    improvement; save float16 weights."""
+    """Train on speech+bed mixtures (``realistic``: diverse bed kinds,
+    −5..15 dB SNRs, a third REAL narration vocals); gate on held-out
+    synthetic SI-SNR improvement AND on held-out real-speech mixtures
+    (real_mixture_eval — segments 10/11 + unseen beds); save float16
+    weights."""
     import optax
 
     sep = MaskSeparator(autoload=False)
     sep.init_params(jax.random.PRNGKey(seed))
-    pairs = _make_pairs(n_mixtures, seed)
+    pairs = _make_pairs(n_mixtures, seed, realistic=realistic)
     mix, clean, valid = _prep_batches(pairs, batch)
     log.info("masknet: %d mixtures, frames %s", mix.shape[0], mix.shape[1:])
     tx = optax.adam(lr)
@@ -268,7 +411,7 @@ def pretrain_masknet(
 
     # held-out SI-SNR improvement through the full separate() path
     gains = []
-    for mix_x, clean_x in _make_pairs(12, seed + 555):
+    for mix_x, clean_x in _make_pairs(12, seed + 555, realistic=realistic):
         est = np.asarray(sep.separate(Audio(mix_x, 16000)).samples, np.float32)
         n = min(est.size, clean_x.size)
         gains.append(si_snr_db(est[:n], clean_x[:n]) - si_snr_db(mix_x[:n], clean_x[:n]))
@@ -276,6 +419,13 @@ def pretrain_masknet(
     log.info("held-out SI-SNR improvement: %.2f dB", gain)
     if gain < target_si_snr_gain_db:
         raise RuntimeError(f"SI-SNR gain {gain:.2f} dB < {target_si_snr_gain_db} dB gate")
+    if realistic:
+        real_gain = real_mixture_eval(sep, seed=seed)
+        log.info("held-out REAL-speech mixture SI-SNR improvement: %.2f dB", real_gain)
+        if np.isfinite(real_gain) and real_gain < target_real_gain_db:
+            raise RuntimeError(
+                f"real-mixture SI-SNR gain {real_gain:.2f} dB < {target_real_gain_db} dB gate"
+            )
 
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)

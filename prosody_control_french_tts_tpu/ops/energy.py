@@ -48,8 +48,13 @@ def dbfs(x: np.ndarray | jnp.ndarray, int_scale: float = 32768.0) -> float:
 @partial(jax.jit, static_argnames=("rate", "window_ms"))
 def _window_rms_sq(x: jnp.ndarray, rate: int, window_ms: int) -> jnp.ndarray:
     """Mean-square of every window of ``window_ms`` starting at each
-    millisecond boundary. x: [T] float in [-1,1). Returns [n_starts]."""
+    millisecond boundary. x: [T] float in [-1,1) — or an int16 image of it
+    (cast on device; halves the host→device transfer, the dominant cost of
+    the silence scan on remote runtimes). Returns [n_starts]."""
     from .cumsum import chunked_cumsum_sq
+
+    if x.dtype == jnp.int16:
+        x = x.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
 
     per_ms = rate / 1000.0
     T = x.shape[-1]
@@ -78,7 +83,23 @@ def detect_silence(
     length_ms = int(len(x) * 1000 // rate)
     if length_ms < min_silence_len:
         return []
-    ms2 = np.asarray(_window_rms_sq(jnp.asarray(x), rate, min_silence_len))
+    # pad to a power-of-two bucket so arbitrary clip lengths reuse ONE
+    # compiled program (a fresh compile per length cost seconds per clip in
+    # the whisper-aligner VAD). The prefix of the padded cumsum is
+    # bit-identical, and every original window ends before the pad, so
+    # slicing to the original start count reproduces the unpadded result
+    # exactly.
+    T = int(len(x))
+    Tp = 1 << max(T - 1, 1).bit_length()
+    xp = np.pad(np.asarray(x), (0, Tp - T)) if Tp != T else np.asarray(x)
+    if xp.dtype == np.float32:
+        q = np.rint(xp * 32768.0)
+        if np.abs(q).max(initial=0.0) <= 32767.0 and np.array_equal(
+            q.astype(np.float32) * np.float32(1.0 / 32768.0), xp
+        ):
+            xp = q.astype(np.int16)  # lossless halved transfer
+    n_starts = max(length_ms - min_silence_len + 1, 0)
+    ms2 = np.asarray(_window_rms_sq(jnp.asarray(xp), rate, min_silence_len))[:n_starts]
     # pydub: audioop integer rms <= db_to_float(thresh) * max_amplitude
     win_rms = np.floor(np.sqrt(np.maximum(ms2, 0.0)) * int_scale)
     thresh_lin = (10.0 ** (silence_thresh / 20.0)) * int_scale

@@ -101,12 +101,20 @@ class MeasureResult:
 def _measure_device(
     nat, nat_len, raw, raw_len, win_nat, win_raw, mask, rate: float, T: int, T2: int, pp: PitchParams
 ):
-    """nat [S,T], raw [S,T2] float32; win_* [S,N,2] int32 sample windows
-    (win_raw pre-adjusted for the empty-slice fallback); mask [S,N].
+    """nat [S,T], raw [S,T2] float32 — or int16 when the host proved the
+    f32 corpus is an exact int16 image (_load_padded): the device-side
+    cast is then lossless and the host→device transfer halves, which is
+    the dominant cost of the measure step on remote runtimes (~40 MB/s
+    tunnel). win_* [S,N,2] int32 sample windows (win_raw pre-adjusted for
+    the empty-slice fallback); mask [S,N].
 
     Returns per-syntagme (median F0 nat, LUFS nat, LUFS raw, valid flags)
     and per-segment (median F0, LUFS nat full, LUFS raw full).
     """
+    if nat.dtype == jnp.int16:
+        nat = nat.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    if raw.dtype == jnp.int16:
+        raw = raw.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
     g = _geometry(T, rate, pp)
 
     freq, strength, intensity, _ = jax.vmap(
@@ -268,7 +276,7 @@ def _load_padded(paths_or_arrays, rate_expect=None):
                 if res is not None:
                     batch, lens, rate = res
                     ok = lens > 0
-                    return batch, lens.astype(np.int32), rate, np.asarray(ok)
+                    return _as_int16_if_lossless(batch), lens.astype(np.int32), rate, np.asarray(ok)
         except Exception:  # noqa: BLE001 — fall back to the python path
             pass
 
@@ -304,7 +312,23 @@ def _load_padded(paths_or_arrays, rate_expect=None):
     for i, s in enumerate(sigs):
         out[i, : s.shape[0]] = s
         lens[i] = s.shape[0]
-    return out, lens, rate or 44100, np.asarray(ok)
+    return _as_int16_if_lossless(out), lens, rate or 44100, np.asarray(ok)
+
+
+def _as_int16_if_lossless(out: np.ndarray) -> np.ndarray:
+    """Return an int16 image of the corpus when the conversion is EXACT
+    (wav-sourced audio decoded from int16 PCM always is) — the device casts
+    back (_measure_device), so results are bit-identical while the
+    host→device transfer halves. Resampled/synthetic float audio that
+    doesn't round-trip stays float32."""
+    if out.dtype != np.float32:
+        return out
+    q = np.rint(out * 32768.0)
+    if np.abs(q).max(initial=0.0) > 32767.0:
+        return out
+    if np.array_equal(q.astype(np.float32) * np.float32(1.0 / 32768.0), out):
+        return q.astype(np.int16)
+    return out
 
 
 def _ms_to_samp(ms: float, rate: int) -> int:
@@ -358,6 +382,13 @@ def prepare_voice(
     raw, raw_len, _, raw_ok = _load_padded(
         [p if p.exists() else None for p in raw_paths], rate_expect=rate
     )
+    if nat.dtype != raw.dtype:
+        # int16 transfer images must never mix with float32 (numpy would
+        # splice unscaled int16 values); promote whichever side is int16
+        if nat.dtype == np.int16:
+            nat = nat.astype(np.float32) * np.float32(1.0 / 32768.0)
+        if raw.dtype == np.int16:
+            raw = raw.astype(np.float32) * np.float32(1.0 / 32768.0)
 
     S = len(names)
     N = max(1, max(len(s) for s in synts_per_seg))
@@ -392,7 +423,7 @@ def prepare_voice(
     if (~raw_ok).any():
         need = nat.shape[1] > T2
         if need:
-            raw_for_device = np.zeros((S, nat.shape[1]), np.float32)
+            raw_for_device = np.zeros((S, nat.shape[1]), raw.dtype)
             raw_for_device[:, :T2] = raw
             T2 = nat.shape[1]
             raw_len_dev = raw_len.copy()
@@ -645,9 +676,19 @@ def _group_args(items):
         out[:, : a.shape[1]] = a
         return out
 
-    nat = np.concatenate([padT(p.nat, T) for _, p in items])
+    def cat_audio(arrs):
+        # int16 transfer images only concatenate with their own kind —
+        # numpy promotion would otherwise mix unscaled int16 with float32
+        if len({a.dtype for a in arrs}) > 1:
+            arrs = [
+                a.astype(np.float32) * np.float32(1.0 / 32768.0) if a.dtype == np.int16 else a
+                for a in arrs
+            ]
+        return np.concatenate(arrs)
+
+    nat = cat_audio([padT(p.nat, T) for _, p in items])
     nat_len = np.concatenate([p.nat_len for _, p in items])
-    raw = np.concatenate([padT(p.raw_for_device, T2) for _, p in items])
+    raw = cat_audio([padT(p.raw_for_device, T2) for _, p in items])
     raw_len = np.concatenate([p.raw_len_dev for _, p in items])
     win_nat = np.concatenate([padN(p.win_nat, N) for _, p in items])
     win_raw = np.concatenate([padN(p.win_raw_dev, N) for _, p in items])
