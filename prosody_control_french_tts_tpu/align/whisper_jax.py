@@ -364,6 +364,33 @@ def spans_from_attention(w: np.ndarray, frame_dt: float = FRAME_DT) -> np.ndarra
     return spans * frame_dt
 
 
+def spans_from_attention_batch(
+    ws: list[np.ndarray], frame_dt: float = FRAME_DT
+) -> list[np.ndarray]:
+    """Batched ``spans_from_attention``: every matrix pads to the common
+    (token-bucket, frame) envelope and the DP runs as ONE vmapped device
+    program; backtracks stay host-side per item. Both DP prefixes (rows
+    AND columns) are exact, so each item's result equals its solo run."""
+    from ..ops.dtw import monotonic_partition_backtrack, monotonic_partition_costs_batched
+
+    if not ws:
+        return []
+    ws = [np.asarray(w, np.float32) for w in ws]
+    pad_l = max(((w.shape[0] + 15) // 16) * 16 for w in ws)
+    n_fr = max(w.shape[1] for w in ws)
+    cost = np.zeros((len(ws), pad_l, n_fr), np.float32)
+    for i, w in enumerate(ws):
+        w = w / np.maximum(w.sum(axis=-1, keepdims=True), 1e-9)
+        cost[i, : w.shape[0], : w.shape[1]] = -w
+    import jax.numpy as _jnp
+
+    D = np.asarray(monotonic_partition_costs_batched(_jnp.asarray(cost)))
+    return [
+        monotonic_partition_backtrack(D[i, : w.shape[0] + 1, : w.shape[1] + 1]) * frame_dt
+        for i, w in enumerate(ws)
+    ]
+
+
 def group_word_times(tokens: list[str], token_spans: np.ndarray) -> list[AlignedWord]:
     """Whitespace-boundary grouping of subword tokens into words."""
     words: list[AlignedWord] = []
@@ -577,18 +604,83 @@ class WhisperAligner:
         return mel[:max_mel]
 
     def align(self, audio: Audio, transcript: str | None = None) -> TextGrid:
-        audio = audio.to_mono()
-        ok, reason = check_audio_content(np.asarray(audio.samples))
-        if not ok:
-            return words_to_textgrid(
-                [AlignedWord(0.0, min(1.0, audio.duration_seconds), EMPTY_TEXT)],
-                audio.duration_seconds,
-            )
-        if self.params is None or self.tokenizer is None:
-            raise ValueError("WhisperAligner needs weights + tokenizer")
-        dur = audio.duration_seconds
+        return self.align_batch([audio], [transcript])[0]
+
+    def align_batch(
+        self, audios: list[Audio], transcripts: list[str | None] | None = None
+    ) -> list[TextGrid]:
+        """Batched alignment: every clip's speech regions are planned on
+        host, then ALL transcript-free sub-clips decode in ONE greedy
+        launch (batch axis; padded to a power-of-two) and their
+        cross-attention DTWs run in ONE batched device program — the
+        per-launch tunnel floor (~30 ms) amortizes across the corpus
+        instead of repeating per segment. Teacher-forced sub-clips (known
+        transcript) are one decode launch each. Semantics per clip are
+        identical to ``align``."""
+        transcripts = list(transcripts) if transcripts is not None else [None] * len(audios)
+        plans: list[dict] = []
+        jobs: list[dict] = []
+        for idx, (audio, transcript) in enumerate(zip(audios, transcripts)):
+            a = audio.to_mono()
+            ok, _reason = check_audio_content(np.asarray(a.samples))
+            if not ok:
+                # gate precedes the weights requirement: the "..."
+                # placeholder works without a model (reference parity)
+                plans.append({"empty": True, "dur": a.duration_seconds})
+                continue
+            if self.params is None or self.tokenizer is None:
+                raise ValueError("WhisperAligner needs weights + tokenizer")
+            regions, clip_jobs = self._plan_jobs(a, transcript)
+            for j in clip_jobs:
+                j["clip"] = idx
+            jobs.extend(clip_jobs)
+            plans.append({"empty": False, "dur": a.duration_seconds, "regions": regions})
+
+        free = [j for j in jobs if j["transcript"] is None]
+        forced = [j for j in jobs if j["transcript"] is not None]
+        if free:
+            self._run_free_jobs(free)
+        for j in forced:
+            j["words"] = self._teacher_forced_words(j["audio"], j["transcript"])
+
+        out: list[TextGrid] = []
+        for idx, plan in enumerate(plans):
+            dur = plan["dur"]
+            if plan["empty"]:
+                out.append(
+                    words_to_textgrid([AlignedWord(0.0, min(1.0, dur), EMPTY_TEXT)], dur)
+                )
+                continue
+            words: list[AlignedWord] = []
+            for j in jobs:
+                if j["clip"] != idx:
+                    continue
+                sub_dur = j["audio"].duration_seconds
+                for w in j.get("words", []):
+                    s = min(w.start, sub_dur) + j["t0"]
+                    e = min(w.end, sub_dur) + j["t0"]
+                    words.append(AlignedWord(s, e, w.word))
+            regions = plan["regions"]
+            if self.detect_disfluencies:
+                words = mark_disfluencies(words, regions if regions else [(0.0, dur)])
+            # the reference's TextGrid replaces the marker with " "
+            # (use_whisper_timestamped.py:375) so downstream sees a pause:
+            # pure markers become silence gaps in our ""-silence convention
+            words = [
+                AlignedWord(w.start, w.end, w.word.replace(DISFLUENCY_MARK, " ").strip())
+                for w in words
+            ]
+            out.append(words_to_textgrid([w for w in words if w.word], dur))
+        return out
+
+    # -- planning (host) ---------------------------------------------------
+
+    def _plan_jobs(self, audio: Audio, transcript: str | None):
+        """(regions, jobs): VAD speech regions with transcript words
+        apportioned by duration (use_whisper_timestamped.py:152 semantics),
+        then >window chunking — each job is a ≤window sub-clip with an
+        absolute offset ``t0`` and an optional transcript."""
         regions: list[tuple[float, float]] | None = None
-        words: list[AlignedWord] | None = None
         if self.use_vad:
             try:
                 regions = vad_speech_regions(audio)
@@ -598,98 +690,112 @@ class WhisperAligner:
                 if "max_silence" not in str(e):
                     raise
                 regions = None
-            if regions:
-                words = self._align_regions(audio, transcript, regions)
-        if words is None:
-            words = self._align_words(audio, transcript)
-        if self.detect_disfluencies:
-            words = mark_disfluencies(words, regions if regions else [(0.0, dur)])
-        # the reference's TextGrid replaces the marker with " "
-        # (use_whisper_timestamped.py:375) so downstream sees a pause: pure
-        # markers become silence gaps in our ""-silence convention
-        words = [
-            AlignedWord(w.start, w.end, w.word.replace(DISFLUENCY_MARK, " ").strip())
-            for w in words
-        ]
-        return words_to_textgrid([w for w in words if w.word], dur)
-
-    def _align_regions(
-        self, audio: Audio, transcript: str | None, regions: list[tuple[float, float]]
-    ) -> list[AlignedWord]:
-        """Per-speech-region alignment with transcript words apportioned by
-        region duration; times offset back to the full-audio clock."""
-        words_all = transcript.split() if transcript is not None else None
-        total_speech = sum(e - s for s, e in regions) or 1e-9
-        out: list[AlignedWord] = []
-        wi = 0
-        for k, (t0, t1) in enumerate(regions):
-            sub = audio.slice_ms(t0 * 1000, t1 * 1000)
-            if words_all is not None:
-                if k < len(regions) - 1:
-                    share = int(round(len(words_all) * (t1 - t0) / total_speech))
-                    chunk = words_all[wi : wi + max(share, 0)]
-                else:
-                    chunk = words_all[wi:]
-                wi += len(chunk)
-                if not chunk:
-                    continue
-                sub_tr = " ".join(chunk)
-            else:
-                sub_tr = None
-            for w in self._align_words(sub, sub_tr):
-                out.append(AlignedWord(w.start + t0, w.end + t0, w.word))
-        return out
-
-    def _align_words(self, audio: Audio, transcript: str | None) -> list[AlignedWord]:
-        """Single-clock alignment: ≤30 s windows through the model, longer
-        audio chunked with word budgets apportioned by duration (the
-        reference delegates this to whisper-timestamped's chunking)."""
-        window_s = self.cfg.n_audio_ctx * FRAME_DT
-        dur = audio.duration_seconds
-        if dur > window_s:
+        jobs: list[dict] = []
+        if regions:
             words_all = transcript.split() if transcript is not None else None
-            out_words: list[AlignedWord] = []
-            n_chunks = int(np.ceil(dur / window_s))
+            total_speech = sum(e - s for s, e in regions) or 1e-9
             wi = 0
-            for c in range(n_chunks):
-                t0 = c * window_s
-                sub = audio.slice_ms(t0 * 1000, min((c + 1) * window_s, dur) * 1000)
+            for k, (t0, t1) in enumerate(regions):
+                sub = audio.slice_ms(t0 * 1000, t1 * 1000)
                 if words_all is not None:
-                    share = int(round(len(words_all) * sub.duration_seconds / dur))
-                    chunk_words = words_all[wi : wi + max(share, 0)] if c < n_chunks - 1 else words_all[wi:]
-                    wi += len(chunk_words)
-                    sub_tr = " ".join(chunk_words)
-                    if not sub_tr:
+                    if k < len(regions) - 1:
+                        share = int(round(len(words_all) * (t1 - t0) / total_speech))
+                        chunk = words_all[wi : wi + max(share, 0)]
+                    else:
+                        chunk = words_all[wi:]
+                    wi += len(chunk)
+                    if not chunk:
                         continue
+                    sub_tr = " ".join(chunk)
                 else:
                     sub_tr = None
-                for w in self._align_words(sub, sub_tr):
-                    out_words.append(AlignedWord(w.start + t0, w.end + t0, w.word))
-            return out_words
-        if transcript is not None:
-            token_ids = self.tokenizer.encode(transcript)[1:-1]
-            # teacher-forced: [sot]+text through the decoder in ONE launch;
-            # rows 1.. are the text tokens' cross attention (position
-            # conventions match training and the greedy decode path)
-            ids = jnp.asarray([[self.tokenizer.cls_id] + token_ids], jnp.int32)
-            mel = self.features(audio)
-            enc = self.model.apply(self.params, mel[None], method=WhisperModel.encode)
-            _, cross = self.model.apply(
-                self.params, ids, enc, True, method=WhisperModel.decode
-            )
-            n_frames = enc.shape[-2]
-            spans = token_times_from_cross_attention(cross, n_frames)[1:]
+                jobs.extend(self._window_chunks(sub, sub_tr, t0))
         else:
-            token_ids, att = self._greedy_tokens(audio)
-            if not token_ids:
-                return []
-            spans = spans_from_attention(att)
+            jobs = self._window_chunks(audio, transcript, 0.0)
+        return regions, jobs
+
+    def _window_chunks(self, audio: Audio, transcript: str | None, base_t0: float) -> list[dict]:
+        """Split audio longer than the model window into ≤window jobs with
+        word budgets apportioned by duration (the reference delegates this
+        to whisper-timestamped's chunking)."""
+        window_s = self.cfg.n_audio_ctx * FRAME_DT
+        dur = audio.duration_seconds
+        if dur <= window_s:
+            return [{"t0": base_t0, "audio": audio, "transcript": transcript}]
+        words_all = transcript.split() if transcript is not None else None
+        out: list[dict] = []
+        n_chunks = int(np.ceil(dur / window_s))
+        wi = 0
+        for c in range(n_chunks):
+            t0 = c * window_s
+            sub = audio.slice_ms(t0 * 1000, min((c + 1) * window_s, dur) * 1000)
+            if words_all is not None:
+                share = int(round(len(words_all) * sub.duration_seconds / dur))
+                chunk_words = words_all[wi : wi + max(share, 0)] if c < n_chunks - 1 else words_all[wi:]
+                wi += len(chunk_words)
+                sub_tr = " ".join(chunk_words)
+                if not sub_tr:
+                    continue
+            else:
+                sub_tr = None
+            out.extend(self._window_chunks(sub, sub_tr, base_t0 + t0))
+        return out
+
+    # -- execution (device) ------------------------------------------------
+
+    def _run_free_jobs(self, free: list[dict], max_tokens: int = 128) -> None:
+        """Transcript-free jobs: ONE greedy decode launch over the stacked
+        mel batch (padded to a power-of-two batch so distinct corpus sizes
+        reuse a handful of compiled programs), then ONE batched DTW over
+        every job's cross-attention rows. Fills job["words"] in place."""
+        max_new = min(max_tokens, self.cfg.n_text_ctx - 1)
+        mels = np.stack([np.asarray(self.features(j["audio"])) for j in free])
+        B = mels.shape[0]
+        Bp = 1 << max(B - 1, 1).bit_length()
+        if Bp != B:
+            mels = np.pad(mels, ((0, Bp - B), (0, 0), (0, 0)))
+        fn = self._greedy_cache.get(max_new)
+        if fn is None:
+            fn = make_greedy_fn(self.model, max_new)
+            self._greedy_cache[max_new] = fn
+        tokens, att = fn(
+            self.params, jnp.asarray(mels), self.tokenizer.cls_id, self.tokenizer.sep_id
+        )
+        tokens = np.asarray(tokens)[:B]
+        att = np.asarray(att)[:B]
+        token_lists, att_rows = [], []
+        for i in range(B):
+            toks = tokens[i]
+            eots = np.nonzero(toks[1:] == self.tokenizer.sep_id)[0]
+            n = int(eots[0]) if eots.size else max_new
+            token_lists.append([int(t) for t in toks[1 : n + 1]])
+            att_rows.append(att[i, 1 : n + 1])
+        nonempty = [i for i in range(B) if token_lists[i]]
+        spans_all = spans_from_attention_batch([att_rows[i] for i in nonempty])
+        spans_by_job = dict(zip(nonempty, spans_all))
+        for i, j in enumerate(free):
+            if i not in spans_by_job:
+                j["words"] = []
+                continue
+            pieces = self.tokenizer.pieces_with_boundaries(token_lists[i])
+            j["words"] = group_word_times(pieces, spans_by_job[i])
+
+    def _teacher_forced_words(self, audio: Audio, transcript: str) -> list[AlignedWord]:
+        """Known transcript: [sot]+text through the decoder in ONE launch;
+        rows 1.. are the text tokens' cross attention (position conventions
+        match training and the greedy decode path)."""
+        token_ids = self.tokenizer.encode(transcript)[1:-1]
+        ids = jnp.asarray([[self.tokenizer.cls_id] + token_ids], jnp.int32)
+        mel = self.features(audio)
+        enc = self.model.apply(self.params, mel[None], method=WhisperModel.encode)
+        _, cross = self.model.apply(self.params, ids, enc, True, method=WhisperModel.decode)
+        n_frames = enc.shape[-2]
+        spans = token_times_from_cross_attention(cross, n_frames)[1:]
         # per-token surface strings with a leading space marking word starts
         # (NOT decode([t]): that strips the WordPiece "##" marker and would
         # split multi-piece words); both tokenizer families implement this
         pieces = self.tokenizer.pieces_with_boundaries(token_ids)
-        words = group_word_times(pieces, spans)
-        return [AlignedWord(min(w.start, dur), min(w.end, dur), w.word) for w in words]
+        return group_word_times(pieces, spans)
 
     def _greedy_tokens(self, audio: Audio, max_tokens: int = 128) -> tuple[list[int], np.ndarray]:
         """One device launch: greedy KV-cache transcription (make_greedy_fn)

@@ -36,7 +36,7 @@ from ..ssml.parse import combine_training_data, write_training_json
 from ..tts.base import TTSBackend
 from ..tts.stitch import stitch_rows
 from ..utils import fr_pos
-from ..utils.textgridio import write_textgrid
+from ..utils.textgridio import TextGrid, write_textgrid
 from ..utils.wavio import Audio, read_wav, write_wav
 from .config import PipelineConfig
 
@@ -226,6 +226,20 @@ class AudioPipeline:
             ),
         )
 
+        # corpus-batched aligners (WhisperAligner.align_batch) process every
+        # segment in a handful of device launches instead of one set per
+        # segment; others align per segment
+        batch_tgs: dict[str, TextGrid] = {}
+        if self.cfg.aligner != "precomputed" and hasattr(aligner, "align_batch"):
+            audios, trs = [], []
+            for wav_path in seg_files:
+                audios.append(read_wav(wav_path).to_mono())
+                t_raw = txt_raw_dir / f"{wav_path.stem}.txt"
+                trs.append(t_raw.read_text(encoding="utf-8").strip() if t_raw.exists() else None)
+            batch_tgs = dict(
+                zip([p.stem for p in seg_files], aligner.align_batch(audios, trs))
+            )
+
         for wav_path in seg_files:
             stem = wav_path.stem
             tg_path = tg_dir / f"{stem}.TextGrid"
@@ -235,6 +249,9 @@ class AudioPipeline:
                         f"aligner=precomputed but {tg_path} missing; run a real aligner"
                     )
                 tg = aligner.for_segment(stem).align(None)
+            elif stem in batch_tgs:
+                tg = batch_tgs[stem]
+                write_textgrid(tg, tg_path)
             else:
                 audio = read_wav(wav_path).to_mono()
                 transcript = None

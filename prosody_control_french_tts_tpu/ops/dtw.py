@@ -90,6 +90,12 @@ def monotonic_partition_costs(cost: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([first[None, :], rows], axis=0)
 
 
+monotonic_partition_costs_batched = jax.jit(jax.vmap(monotonic_partition_costs))
+"""[B, L, F] local costs → [B, L+1, F+1] DP matrices in ONE launch — the
+batched-alignment path (align_batch) amortizes the per-launch tunnel floor
+across every segment's cross-attention DTW."""
+
+
 def monotonic_partition_backtrack(D: np.ndarray) -> np.ndarray:
     """Host backtrack (O(L+F)) over a ``monotonic_partition_costs`` prefix:
     → [L, 2] frame spans (start, end). Tie rule: diagonal wins, matching

@@ -89,6 +89,20 @@ class TestPackagedWhisper:
         assert hit >= 3, (words, sent)
         assert float(np.mean(errs)) < 0.08, errs
 
+    def test_align_batch_matches_sequential(self, aligner):
+        """align_batch (one greedy launch + one batched DTW for the whole
+        corpus) must reproduce the per-clip path exactly — same decode,
+        same DP (exact prefixes), same TextGrids."""
+        sents = sample_sentences(3, seed=321_000)
+        audios = [Audio(synth_sentence(s, seed=321_000 + i)[0], 16000) for i, s in enumerate(sents)]
+        trs = [None, sents[1], None]  # mixed free/teacher-forced
+        batched = aligner.align_batch(audios, trs)
+        for audio, tr, tg_b in zip(audios, trs, batched):
+            tg_s = aligner.align(audio, tr)
+            got = [(iv.min_time, iv.max_time, iv.mark) for iv in tg_b.tiers[0]]
+            want = [(iv.min_time, iv.max_time, iv.mark) for iv in tg_s.tiers[0]]
+            assert got == want
+
     def test_align_with_transcript_teacher_forced(self, aligner):
         # the teacher-forced path (transcript given) must also localize
         sent = "bonjour le monde entier"
