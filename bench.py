@@ -344,6 +344,67 @@ V5E_BF16_PEAK_FLOPS = 197e12
 V5E_HBM_BYTES_PER_S = 819e9
 
 
+def bench_llm_decode_7b_quant(mode: str = "int8", batch: int = 8, new: int = 32) -> dict:
+    """QwenB serving shape (BENCH_7B=1; ~10 min: one-time 9 GB weight
+    upload over the ~40 MB/s tunnel dominates): greedy KV-cache decode of
+    the FULL Qwen2.5-7B geometry with the base quantized — the only way 7B
+    fits one 16 GB v5e chip (bf16 weights alone are ~15 GB;
+    models/quant.py rationale, QwenB.py:100-113 parity).
+
+    The tree is generated directly in quantized storage (random int8 codes
+    + unit scales, bf16 embeddings) via eval_shape — no 28 GB float pass.
+    Reports tokens/sec, weight-stream HBM fraction, and MFU."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from prosody_control_french_tts_tpu.models.llm import DecoderLM, LLMConfig, greedy_generate
+
+    cfg = dataclasses.replace(LLMConfig.qwen25_7b(), quant=mode, max_len=160)
+    model = DecoderLM(cfg)
+    rng = np.random.default_rng(0)
+    ids0 = jnp.zeros((batch, 8), jnp.int32)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), ids0))
+
+    def gen(leaf):
+        if leaf.dtype == jnp.int8:
+            return rng.integers(-127, 127, size=leaf.shape, dtype=np.int8)
+        arr = (rng.standard_normal(leaf.shape) * 0.02).astype(np.float32)
+        if leaf.shape and max(leaf.shape) >= 100_000:  # embed / lm_head
+            return arr.astype(ml_dtypes.bfloat16)
+        if "uint8" in str(leaf.dtype):
+            return rng.integers(0, 255, size=leaf.shape, dtype=np.uint8)
+        return arr
+
+    params = jax.tree.map(gen, shapes)
+    prompt = jnp.asarray(rng.integers(1, 1000, size=(batch, 8)), jnp.int32)
+    t_up = time.perf_counter()
+    params = jax.device_put(params)
+    out = greedy_generate(model, params, prompt, max_new=new)
+    int(np.asarray(out)[0, -1])  # upload + compile + warm
+    up_s = time.perf_counter() - t_up
+    t0 = time.perf_counter()
+    out = greedy_generate(
+        model, params, jnp.asarray(rng.integers(1, 1000, size=(batch, 8)), jnp.int32), max_new=new
+    )
+    int(np.asarray(out)[0, -1])
+    dt = time.perf_counter() - t0
+    tps = batch * new / dt
+    hd = cfg.head_dim
+    per_layer = cfg.dim * cfg.heads * hd + 2 * cfg.dim * cfg.kv_heads * hd + cfg.heads * hd * cfg.dim + 3 * cfg.dim * cfg.ffn
+    matmul_params = cfg.layers * per_layer + cfg.dim * cfg.vocab_size
+    wbytes = matmul_params * (1 if mode == "int8" else 0.5)
+    return {
+        "llm7b_quant_mode": mode,
+        "llm7b_decode_tokens_per_sec": round(tps, 1),
+        "llm7b_decode_ms_per_step": round(1000.0 * dt / new, 1),
+        "llm7b_hbm_fraction": round((tps / batch) * wbytes / V5E_HBM_BYTES_PER_S, 3),
+        "llm7b_mfu": round(tps * 2 * matmul_params / V5E_BF16_PEAK_FLOPS, 4),
+        "llm7b_upload_compile_s": round(up_s, 1),
+    }
+
+
 def _on_accel() -> bool:
     return jax.devices()[0].platform != "cpu"
 
@@ -411,6 +472,8 @@ def main():
         extra["llm_decode_tokens_per_sec"] = llm_tps
         extra.update(llm_decode_roofline(llm_tps))
         extra["whisper_align_audio_hours_per_hour"] = round(bench_whisper_align(), 1)
+    if os.environ.get("BENCH_7B"):
+        extra.update(bench_llm_decode_7b_quant(os.environ.get("BENCH_7B_MODE", "int8")))
 
     which = os.environ.get("BENCH_METRIC", "measure")
     if which == "bert" and "bert_sentences_per_sec" in extra:
