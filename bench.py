@@ -187,7 +187,7 @@ def bench_bert() -> float:
     return sentences_per_second(model, params, ds, batch_size=B, iters=iters)
 
 
-def bench_pipeline_e2e() -> tuple[float, dict]:
+def bench_pipeline_e2e() -> tuple[float, dict, dict]:
     """Full 8-step voice run (Preprocess → Compare Breaks) on the WHOLE
     bundled corpus (all 10 reference segments, ≈162 s) with the FakeBackend
     TTS + energy aligner: end-to-end audio-hours per wall-clock hour,
@@ -220,7 +220,9 @@ def bench_pipeline_e2e() -> tuple[float, dict]:
         11: "d'ici la nous vous souhaitons une excellente soiree en musique et a bientot",
     }
 
-    def run_once(root: Path) -> tuple[float, dict]:
+    def run_once(root: Path) -> tuple[float, dict, dict]:
+        from prosody_control_french_tts_tpu.core import profiling
+
         vdir = root / "Data" / "voice" / "rec"
         (vdir / "brute").mkdir(parents=True)
         sigs, rate = [], 44100
@@ -244,6 +246,7 @@ def bench_pipeline_e2e() -> tuple[float, dict]:
             },
             root,
         )
+        profiling.reset_phases()
         t0 = time.perf_counter()
         pipe = AudioPipeline("rec", cfg, tts=FakeBackend(seed=1))
         pipe.preprocess()
@@ -263,7 +266,7 @@ def bench_pipeline_e2e() -> tuple[float, dict]:
         for line in (results_dir / "step_timings.jsonl").read_text().splitlines():
             rec = json.loads(line)
             steps[rec["step"]] = steps.get(rec["step"], 0.0) + rec["seconds"]
-        return (audio_seconds / 3600.0) / (dt / 3600.0), steps
+        return (audio_seconds / 3600.0) / (dt / 3600.0), steps, dict(profiling.PHASES)
 
     # two identical runs; only the second (steady-state, compiles warm) is
     # reported — the first pays any cold jit compiles
@@ -465,9 +468,10 @@ def main():
         bert_sps = round(bench_bert(), 1)
         extra["bert_sentences_per_sec"] = bert_sps
         extra["bert_mfu"] = round(bert_mfu(bert_sps), 3)
-        e2e, steps = bench_pipeline_e2e()
+        e2e, steps, phases = bench_pipeline_e2e()
         extra["pipeline_e2e_audio_hours_per_hour"] = round(e2e, 1)
         extra["pipeline_e2e_step_seconds"] = {k: round(v, 2) for k, v in steps.items()}
+        extra["pipeline_e2e_phase_seconds"] = {k: round(v, 2) for k, v in sorted(phases.items())}
         llm_tps = round(bench_llm_decode(), 1)
         extra["llm_decode_tokens_per_sec"] = llm_tps
         extra.update(llm_decode_roofline(llm_tps))

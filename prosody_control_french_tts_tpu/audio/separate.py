@@ -339,7 +339,9 @@ def _prep_batches(pairs, batch: int):
         chunk = wav[s : s + CH]
         if chunk.shape[0] < CH:  # keep one program shape
             chunk = np.pad(chunk, ((0, CH - chunk.shape[0]), (0, 0)))
-        mags.append(np.abs(np.asarray(stft(jnp.asarray(chunk), N_FFT, HOP))))
+        # |.| on device: complex64 readback is UNIMPLEMENTED on the remote
+        # TPU backend (float works), and the transfer halves
+        mags.append(np.asarray(jnp.abs(stft(jnp.asarray(chunk), N_FFT, HOP))))
     mag = np.concatenate(mags)[: 2 * n].transpose(0, 2, 1)  # [2n, T', F]
     Tm = mag.shape[1]
     mix = np.ascontiguousarray(mag[0::2])

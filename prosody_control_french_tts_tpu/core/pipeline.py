@@ -178,20 +178,24 @@ class AudioPipeline:
         else:
             shutil.copy(brute, denoised)
 
-        audio = read_wav(denoised).to_mono()
+        from ..core.profiling import phase
         from ..ops.energy import split_on_silence_ranges
 
-        ranges = split_on_silence_ranges(
-            np.asarray(audio.samples, np.float32),
-            audio.rate,
-            self.cfg.silence.min_silence_len,
-            self.cfg.silence.silence_thresh,
-            self.cfg.silence.keep_silence,
-        )
+        with phase("preprocess/read"):
+            audio = read_wav(denoised).to_mono()
+        with phase("preprocess/vad"):
+            ranges = split_on_silence_ranges(
+                np.asarray(audio.samples, np.float32),
+                audio.rate,
+                self.cfg.silence.min_silence_len,
+                self.cfg.silence.silence_thresh,
+                self.cfg.silence.keep_silence,
+            )
         out_dir = self.voice_dir / "audio"
         out_dir.mkdir(parents=True, exist_ok=True)
-        for i, (s, e) in enumerate(ranges):
-            write_wav(out_dir / f"segment_ph{i + 1}.wav", audio.slice_ms(s, e))
+        with phase("preprocess/write_segments"):
+            for i, (s, e) in enumerate(ranges):
+                write_wav(out_dir / f"segment_ph{i + 1}.wav", audio.slice_ms(s, e))
         log.info("silence split: %d segments", len(ranges))
 
     # 2 ------------------------------------------------------------------

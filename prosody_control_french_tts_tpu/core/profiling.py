@@ -55,6 +55,25 @@ class StepTimer:
         return sum(r["seconds"] for r in self.records)
 
 
+# Fine-grained phase accounting inside pipeline steps (which step is slow is
+# answered by StepTimer; WHY it is slow — host prep vs transfer vs launch vs
+# postprocess — is answered here). Always on: one perf_counter pair per phase.
+PHASES: dict[str, float] = {}
+
+
+@contextlib.contextmanager
+def phase(name: str):
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        PHASES[name] = PHASES.get(name, 0.0) + time.perf_counter() - t0
+
+
+def reset_phases() -> None:
+    PHASES.clear()
+
+
 @contextlib.contextmanager
 def device_trace(trace_dir: str | Path, enabled: bool = True):
     """jax.profiler trace for TensorBoard (no-op when disabled or when the

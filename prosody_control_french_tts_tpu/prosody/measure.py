@@ -365,23 +365,28 @@ def prepare_voice(
 ) -> PreparedVoice:
     """Everything before the device call: TextGrid parsing, syntagme
     construction, padded corpus loading, window/fallback bookkeeping."""
+    from ..core.profiling import phase
+
     if clean_word is None:
         clean_word = fr_pos.remove_spurious_commas
 
     # --- host: parse alignment, build syntagmes --------------------------
     names = [p.stem for p in seg_files]
-    tgs = [read_textgrid(textgrid_dir / f"{n}.TextGrid") for n in names]
-    raw_seqs = [extract_words_and_pauses(tg) for tg in tgs]
-    synts_per_seg: list[list[Syntagme]] = [
-        pipeline_syntagmes(tg, settings.end_punctuation_pause_ms, clean_word=clean_word)
-        for tg in tgs
-    ]
+    with phase("measure/prepare/textgrids"):
+        tgs = [read_textgrid(textgrid_dir / f"{n}.TextGrid") for n in names]
+        raw_seqs = [extract_words_and_pauses(tg) for tg in tgs]
+        synts_per_seg: list[list[Syntagme]] = [
+            pipeline_syntagmes(tg, settings.end_punctuation_pause_ms, clean_word=clean_word)
+            for tg in tgs
+        ]
 
-    nat, nat_len, rate, _ = _load_padded(seg_files)
+    with phase("measure/prepare/load_nat"):
+        nat, nat_len, rate, _ = _load_padded(seg_files)
     raw_paths = [raw_audio_dir / f"{n}.wav" for n in names]
-    raw, raw_len, _, raw_ok = _load_padded(
-        [p if p.exists() else None for p in raw_paths], rate_expect=rate
-    )
+    with phase("measure/prepare/load_raw"):
+        raw, raw_len, _, raw_ok = _load_padded(
+            [p if p.exists() else None for p in raw_paths], rate_expect=rate
+        )
     if nat.dtype != raw.dtype:
         # int16 transfer images must never mix with float32 (numpy would
         # splice unscaled int16 values); promote whichever side is int16
@@ -454,19 +459,24 @@ def prepare_voice(
 
 
 def run_measure_device(prep: PreparedVoice, pp: PitchParams):
+    from ..core.profiling import phase
+
     S = prep.nat.shape[0]
-    dev = _corpus_to_device(
-        [prep.nat, prep.nat_len, prep.raw_for_device, prep.raw_len_dev,
-         prep.win_nat, prep.win_raw_dev, prep.mask]
-    )
-    out = _measure_device(
-        *dev,
-        rate=float(prep.rate),
-        T=int(prep.nat.shape[1]),
-        T2=int(prep.raw_for_device.shape[1]),
-        pp=pp,
-    )
-    return tuple(np.asarray(o)[:S] for o in out)
+    with phase("measure/device/to_device"):
+        dev = _corpus_to_device(
+            [prep.nat, prep.nat_len, prep.raw_for_device, prep.raw_len_dev,
+             prep.win_nat, prep.win_raw_dev, prep.mask]
+        )
+    with phase("measure/device/launch"):
+        out = _measure_device(
+            *dev,
+            rate=float(prep.rate),
+            T=int(prep.nat.shape[1]),
+            T2=int(prep.raw_for_device.shape[1]),
+            pp=pp,
+        )
+    with phase("measure/device/drain"):
+        return tuple(np.asarray(o)[:S] for o in out)
 
 
 def postprocess_voice(prep: PreparedVoice, outputs, settings: ProsodySettings) -> MeasureResult:
@@ -591,10 +601,15 @@ def measure_voice(
 ) -> MeasureResult:
     """The full measure stage for one voice (Code/audioPipeline.py:261-602
     numerics; SSML emission happens in the pipeline layer)."""
+    from ..core.profiling import phase
+
     pp = pitch_params or PitchParams()
-    prep = prepare_voice(seg_files, textgrid_dir, raw_audio_dir, settings, clean_word)
-    outputs = run_measure_device(prep, pp)
-    return postprocess_voice(prep, outputs, settings)
+    with phase("measure/prepare"):
+        prep = prepare_voice(seg_files, textgrid_dir, raw_audio_dir, settings, clean_word)
+    with phase("measure/device"):
+        outputs = run_measure_device(prep, pp)
+    with phase("measure/postprocess"):
+        return postprocess_voice(prep, outputs, settings)
 
 
 def measure_voices_batched(
