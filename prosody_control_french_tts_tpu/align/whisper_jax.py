@@ -148,7 +148,8 @@ class _Block(nn.Module):
         self.fc2 = nn.Dense(c.dim, dtype=c.dtype)
 
     def __call__(self, x, enc=None, collect_cross: bool = False, cache=None, kv=None):
-        h, _, new_cache = self.attn(self.ln_attn(x), x, cache=cache)
+        hn = self.ln_attn(x)  # pre-norm: K/V project from the SAME normed h as q
+        h, _, new_cache = self.attn(hn, hn, cache=cache)
         x = x + h
         cross_w = None
         if self.use_cross:
