@@ -225,6 +225,73 @@ long audioio_load_batch(
     return rate > 0 ? rate : -1;
 }
 
+// Lossless int16 batch loader: succeeds ONLY when every file is mono 16-bit
+// PCM at target_rate (or at one common rate when target_rate<=0), in which
+// case each data chunk is memcpy'd straight into its padded row — no float
+// conversion on either side (the device casts back, so results match the
+// float path bit-for-bit while host work and transfer both halve). Returns
+// the rate, or -2 when the corpus is not losslessly representable (caller
+// falls back to audioio_load_batch). Missing/corrupt files get length -1
+// and a zero row, mirroring the float loader's per-file contract.
+long audioio_load_batch_i16(
+    const char* paths_blob, long n_files, int target_rate, int16_t* out, long stride,
+    long* lengths) {
+    const char* p = paths_blob;
+    int rate = target_rate;
+    for (long i = 0; i < n_files; ++i, p += std::strlen(p) + 1) {
+        std::vector<uint8_t> raw;
+        int16_t* dst = out + i * stride;
+        if (!read_file(p, raw)) {
+            std::memset(dst, 0, stride * sizeof(int16_t));
+            lengths[i] = -1;
+            continue;
+        }
+        // header-only probe (same chunk walk as parse_wav, no decode)
+        if (raw.size() < 44 || std::memcmp(raw.data(), "RIFF", 4) ||
+            std::memcmp(raw.data() + 8, "WAVE", 4)) {
+            std::memset(dst, 0, stride * sizeof(int16_t));
+            lengths[i] = -1;  // unparseable: per-file failure, like the float path
+            continue;
+        }
+        size_t pos = 12;
+        uint16_t tag = 0, channels = 0, bits = 0;
+        uint32_t file_rate = 0;
+        const uint8_t* data = nullptr;
+        size_t data_len = 0;
+        while (pos + 8 <= raw.size()) {
+            const uint8_t* cid = raw.data() + pos;
+            uint32_t size = rd32(raw.data() + pos + 4);
+            const uint8_t* body = raw.data() + pos + 8;
+            if (pos + 8 + size > raw.size()) size = static_cast<uint32_t>(raw.size() - pos - 8);
+            if (!std::memcmp(cid, "fmt ", 4) && size >= 16) {
+                tag = rd16(body);
+                channels = rd16(body + 2);
+                file_rate = rd32(body + 4);
+                bits = rd16(body + 14);
+                if (tag == 0xFFFE && size >= 26) tag = rd16(body + 24);
+            } else if (!std::memcmp(cid, "data", 4)) {
+                data = body;
+                data_len = size;
+            }
+            pos += 8 + size + (size & 1);
+        }
+        if (!data || !file_rate) {
+            std::memset(dst, 0, stride * sizeof(int16_t));
+            lengths[i] = -1;
+            continue;
+        }
+        if (tag != 1 || bits != 16 || channels != 1) return -2;  // needs float path
+        if (rate <= 0) rate = static_cast<int>(file_rate);
+        if (static_cast<int>(file_rate) != rate) return -2;  // would resample
+        long n = static_cast<long>(data_len / 2);
+        if (n > stride) n = stride;
+        std::memcpy(dst, data, n * sizeof(int16_t));
+        if (n < stride) std::memset(dst + n, 0, (stride - n) * sizeof(int16_t));
+        lengths[i] = n;
+    }
+    return rate > 0 ? rate : -1;
+}
+
 // RMS over windows of window_ms starting at every millisecond.
 // Writes floor(sqrt(mean(int16_scaled^2))) like pydub/audioop. Returns the
 // number of windows.

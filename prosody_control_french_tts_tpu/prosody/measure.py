@@ -246,7 +246,7 @@ def _load_padded(paths_or_arrays, rate_expect=None):
     items = list(paths_or_arrays)
     if items and all(isinstance(p, (str, Path)) and p is not None for p in items):
         try:
-            from ..utils.native_audio import available, load_batch
+            from ..utils.native_audio import available, load_batch, load_batch_i16
             from ..utils.wavio import wav_info
 
             if available():
@@ -272,6 +272,13 @@ def _load_padded(paths_or_arrays, rate_expect=None):
                         for f, r in zip(sizes, rates)
                     ]
                 T = bucket_length(max(sizes))
+                # lossless int16 fast path: mono PCM16 at the target rate is
+                # memcpy'd by the C loader — no float decode, no host-side
+                # exactness verification (the format guarantees it)
+                res16 = load_batch_i16(items, stride=T, target_rate=target)
+                if res16 is not None:
+                    batch, lens, rate = res16
+                    return batch, lens.astype(np.int32), rate, np.asarray(lens > 0)
                 res = load_batch(items, stride=T, target_rate=target)
                 if res is not None:
                     batch, lens, rate = res
@@ -322,6 +329,13 @@ def _as_int16_if_lossless(out: np.ndarray) -> np.ndarray:
     host→device transfer halves. Resampled/synthetic float audio that
     doesn't round-trip stays float32."""
     if out.dtype != np.float32:
+        return out
+    # fail fast on a strided sample before paying full passes over the corpus
+    probe = out.reshape(-1)[:: max(1, out.size // 4096)]
+    qp = np.rint(probe * 32768.0)
+    if np.abs(qp).max(initial=0.0) > 32767.0 or not np.array_equal(
+        qp.astype(np.float32) * np.float32(1.0 / 32768.0), probe
+    ):
         return out
     q = np.rint(out * 32768.0)
     if np.abs(q).max(initial=0.0) > 32767.0:

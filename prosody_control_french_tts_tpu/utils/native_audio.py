@@ -71,6 +71,15 @@ def ensure_built(force: bool = False) -> bool:
         ctypes.c_long,
         ctypes.POINTER(ctypes.c_long),
     ]
+    lib.audioio_load_batch_i16.restype = ctypes.c_long
+    lib.audioio_load_batch_i16.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long),
+    ]
     lib.audioio_window_rms.restype = ctypes.c_long
     lib.audioio_window_rms.argtypes = [
         ctypes.POINTER(ctypes.c_float),
@@ -123,6 +132,34 @@ def load_batch(paths: list[str | Path], stride: int, target_rate: int = 0):
         stride,
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
     )
+    ok = lengths >= 0
+    lengths = np.where(ok, lengths, 0)
+    return out, lengths.astype(np.int32), int(rate)
+
+
+def load_batch_i16(paths: list[str | Path], stride: int, target_rate: int = 0):
+    """Lossless int16 corpus load: every file mono 16-bit PCM at one rate →
+    padded [S, stride] int16 straight from the data chunks (no float pass
+    host-side, half the host→device transfer; the device casts back so
+    downstream numerics are bit-identical to the float loader). Returns
+    (batch, lengths, rate), or None when unavailable or the corpus needs
+    the float path (resample / non-mono / non-PCM16)."""
+    if not available():
+        return None
+    S = len(paths)
+    out = np.zeros((S, stride), np.int16)
+    lengths = np.zeros(S, np.int64)
+    blob = b"\0".join(str(p).encode() for p in paths) + b"\0"
+    rate = _lib.audioio_load_batch_i16(
+        blob,
+        S,
+        target_rate,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        stride,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    if rate < 0:
+        return None
     ok = lengths >= 0
     lengths = np.where(ok, lengths, 0)
     return out, lengths.astype(np.int32), int(rate)
