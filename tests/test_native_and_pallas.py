@@ -44,6 +44,41 @@ class TestNativeAudio:
         assert rate == 16000
         assert batch[0, 1000:].max() == 0.0  # padded
 
+    def test_batch_i16_bit_parity_with_float_loader(self, native, tmp_path, rng):
+        # mono PCM16 at the target rate: the i16 fast path must be an exact
+        # image of what the float loader decodes
+        paths = []
+        for i, n in enumerate((1000, 2000, 1500)):
+            p = tmp_path / f"i{i}.wav"
+            wavio.write_wav(p, (rng.normal(size=n) * 0.2).clip(-1, 1), 16000)
+            paths.append(p)
+        r16 = native.load_batch_i16(paths, stride=4096, target_rate=16000)
+        assert r16 is not None
+        b16, l16, rate = r16
+        assert b16.dtype == np.int16 and rate == 16000 and list(l16) == [1000, 2000, 1500]
+        bf, lf, _ = native.load_batch(paths, stride=4096, target_rate=16000)
+        np.testing.assert_array_equal(b16.astype(np.float32) / 32768.0, bf)
+
+    def test_batch_i16_declines_resample_and_stereo(self, native, tmp_path, rng):
+        mono = tmp_path / "m.wav"
+        wavio.write_wav(mono, rng.normal(size=800) * 0.1, 16000)
+        # rate mismatch → needs resample → float path
+        assert native.load_batch_i16([mono], stride=1024, target_rate=22050) is None
+        st = tmp_path / "st.wav"
+        wavio.write_wav(st, np.zeros((400, 2)), 16000)
+        # stereo mixdown is not int16-exact → float path
+        assert native.load_batch_i16([mono, st], stride=1024, target_rate=16000) is None
+
+    def test_batch_i16_failure_row(self, native, tmp_path, rng):
+        good = tmp_path / "g.wav"
+        wavio.write_wav(good, rng.normal(size=600) * 0.1, 16000)
+        bad = tmp_path / "bad.wav"
+        bad.write_bytes(b"junk")
+        res = native.load_batch_i16([good, bad], stride=1024, target_rate=16000)
+        assert res is not None
+        batch, lens, rate = res
+        assert list(lens) == [600, 0] and batch[1].max() == 0
+
     def test_batch_failure_row(self, native, tmp_path):
         bad = tmp_path / "bad.wav"
         bad.write_bytes(b"junk")
