@@ -63,4 +63,4 @@ def _denoise_core(
 def denoise(audio: Audio, **kw) -> Audio:
     x = jnp.asarray(np.asarray(audio.to_mono().samples, np.float32))
     y = np.asarray(_denoise_core(x, **kw))
-    return Audio(y.astype(np.float64), audio.rate)
+    return Audio(y.astype(np.float32, copy=False), audio.rate)

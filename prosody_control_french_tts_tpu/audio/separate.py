@@ -146,7 +146,7 @@ class MaskSeparator:
             seg[: hi - lo] = x[lo:hi]
             y = np.asarray(_separate_core(self.model, self.params, jnp.asarray(seg), C + 2 * H))
             out[s : min(s + C, n)] = y[s - lo : s - lo + min(C, n - s)]
-        res = Audio(out.astype(np.float64), self.SAMPLE_RATE)
+        res = Audio(out.astype(np.float32, copy=False), self.SAMPLE_RATE)
         if orig_rate != self.SAMPLE_RATE:
             res = resample(res, orig_rate)
         return res
@@ -170,7 +170,7 @@ def synth_music(duration_s: float, rate: int = 16000, seed: int = 0) -> np.ndarr
     rng = np.random.default_rng(seed)
     n = int(duration_s * rate)
     t = np.arange(n) / rate
-    out = np.zeros(n)
+    out = np.zeros(n, np.float32)
     bar = max(int(0.8 * rate), 1)
     for b in range(0, n, bar):
         chord = _CHORDS[(b // bar) % len(_CHORDS)]

@@ -106,5 +106,5 @@ def _decode_riff(raw: bytes) -> Audio:
         pos += 8 + size + (size & 1)
     if data is None:
         raise TTSError("Azure RIFF payload missing data chunk")
-    samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float32) * np.float32(1.0 / 32768.0)
     return Audio(samples, rate)

@@ -47,22 +47,26 @@ class FakeBackend:
         sr = self.sample_rate
         words = text.split()
         if not words:
-            return np.zeros(0)
+            return np.zeros(0, np.float32)
         syl = sum(_syllables(w) for w in words)
         dur = syl * BASE_SYLLABLE_S / (1.0 + rate_pct / 100.0)
         n = max(int(dur * sr), int(0.05 * sr))
-        t = np.arange(n) / sr
+        # float32 throughout: float64 elementwise math is ~150× slower on
+        # this host's vCPU and the output is rounded to PCM16 anyway
+        t = np.arange(n, dtype=np.float32) / np.float32(sr)
         f0 = BASE_F0 * (1.0 + pitch_pct / 100.0)
         # deterministic micro-prosody from the text hash
         h = int.from_bytes(hashlib.sha1((text + str(self.seed)).encode()).digest()[:4], "little")
         rng = np.random.default_rng(h)
-        wobble = 1.0 + 0.02 * np.sin(2 * np.pi * (2.0 + (h % 5)) * t + rng.uniform(0, 6.28))
-        phase = 2 * np.pi * np.cumsum(f0 * wobble) / sr
+        wobble = 1.0 + 0.02 * np.sin(2 * np.pi * (2.0 + (h % 5)) * t + np.float32(rng.uniform(0, 6.28)))
+        # phase accumulates in float64 (f32 cumsum drifts over long clips),
+        # then drops to float32 for the harmonic stack
+        phase = (2 * np.pi * np.cumsum((f0 * wobble).astype(np.float64)) / sr).astype(np.float32)
         # glottal-ish buzz: fundamental + decaying harmonics, formant-like AM
-        sig = np.zeros(n)
+        sig = np.zeros(n, np.float32)
         for k, a in ((1, 1.0), (2, 0.6), (3, 0.4), (4, 0.2), (5, 0.1)):
-            sig += a * np.sin(k * phase)
-        env = 0.6 + 0.4 * np.sin(2 * np.pi * 3.1 * t + rng.uniform(0, 6.28))
+            sig += np.float32(a) * np.sin(np.float32(k) * phase)
+        env = 0.6 + 0.4 * np.sin(2 * np.pi * 3.1 * t + np.float32(rng.uniform(0, 6.28)))
         # soft attack/release so stitch fades have something to act on
         ramp = min(n // 10, int(0.01 * sr))
         if ramp > 0:
@@ -77,8 +81,8 @@ class FakeBackend:
         pieces: list[np.ndarray] = []
         for m in _TOKEN.finditer(ssml):
             if m.group(1) is not None:  # break
-                pieces.append(np.zeros(int(int(m.group(1)) * self.sample_rate / 1000)))
+                pieces.append(np.zeros(int(int(m.group(1)) * self.sample_rate / 1000), np.float32))
             elif m.group(2) and m.group(2).strip():
                 pieces.append(self._voice(m.group(2).strip(), pitch, rate, volume))
-        samples = np.concatenate(pieces) if pieces else np.zeros(0)
+        samples = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
         return Audio(samples, self.sample_rate)

@@ -59,13 +59,13 @@ def stitch_rows(
             chunk = chunks.get(content_idx)
             if chunk is None:
                 log.warning("missing TTS chunk for %r; inserting silence", txt)
-                samples = np.zeros(0)
+                samples = np.zeros(0, np.float32)
             else:
                 if chunk.rate != sample_rate:
                     from ..utils.wavio import resample
 
                     chunk = resample(chunk, sample_rate)
-                samples = fade(np.asarray(chunk.samples, np.float64), sample_rate, 5, 5)
+                samples = fade(np.asarray(chunk.samples, np.float32), sample_rate, 5, 5)
             combined.append(samples)
             seg_bufs[seg_id].append(samples)
             content_idx += 1
@@ -74,12 +74,12 @@ def stitch_rows(
             pause_ms = int(float(row.get("pause", 0) or 0))
             if prev_text and prev_text.endswith((".", "?", "!")):
                 pause_ms = max(pause_ms, end_pause_ms)
-            sil = np.zeros(int(round(pause_ms * sample_rate / 1000.0)))
+            sil = np.zeros(int(round(pause_ms * sample_rate / 1000.0)), np.float32)
             combined.append(sil)
             seg_bufs[seg_id].append(sil)
 
     def cat(parts: list[np.ndarray]) -> Audio:
-        return Audio(np.concatenate(parts) if parts else np.zeros(0), sample_rate)
+        return Audio(np.concatenate(parts) if parts else np.zeros(0, np.float32), sample_rate)
 
     segments = {seg: cat(parts) for seg, parts in seg_bufs.items() if parts}
     return StitchResult(out=cat(combined), segments=segments)

@@ -25,7 +25,11 @@ import numpy as np
 class Audio:
     """A decoded audio buffer.
 
-    samples: float64 array in [-1, 1), shape [T] (mono) or [T, C].
+    samples: float array in [-1, 1), shape [T] (mono) or [T, C]. float32
+        for 8/16/24-bit PCM and float32 sources (k·2⁻ⁿ with n ≤ 23 is
+        EXACTLY representable in float32, and float64 elementwise math is
+        ~150× slower than float32 on this host's vCPU); float64 only for
+        int32/float64 sources, whose mantissas don't fit.
     rate: sample rate in Hz.
     source_dtype: numpy dtype string of the on-disk samples ("int16", ...).
     """
@@ -76,7 +80,8 @@ _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
 def read_wav(path: str | Path) -> Audio:
-    """Decode a RIFF/WAVE file to float64 samples in [-1, 1)."""
+    """Decode a RIFF/WAVE file to float samples in [-1, 1) (float32 where
+    exact — see Audio docstring)."""
     raw = Path(path).read_bytes()
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
@@ -99,16 +104,19 @@ def read_wav(path: str | Path) -> Audio:
         tag = struct.unpack("<H", fmt[24:26])[0]
 
     if tag == _WAVE_FORMAT_IEEE_FLOAT:
-        arr = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8").astype(np.float64)
+        arr = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8")
+        arr = arr if bits == 32 else arr.astype(np.float64)
         src = "float32"
     elif tag == _WAVE_FORMAT_PCM:
         if bits == 16:
-            arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+            # k/32768 with |k| ≤ 32768 is exact in float32
+            arr = np.frombuffer(data, dtype="<i2").astype(np.float32) * np.float32(1.0 / 32768.0)
             src = "int16"
         elif bits == 8:
-            arr = (np.frombuffer(data, dtype="u1").astype(np.float64) - 128.0) / 128.0
+            arr = (np.frombuffer(data, dtype="u1").astype(np.float32) - np.float32(128.0)) * np.float32(1.0 / 128.0)
             src = "int8"
         elif bits == 32:
+            # 32-bit mantissas don't fit float32 — keep float64 here
             arr = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
             src = "int32"
         elif bits == 24:
@@ -120,7 +128,8 @@ def read_wav(path: str | Path) -> Audio:
                 | (b[:, 2].astype(np.int32) << 16)
             )
             vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
-            arr = vals.astype(np.float64) / float(1 << 23)
+            # k·2⁻²³ with |k| ≤ 2²³ is exact in float32
+            arr = vals.astype(np.float32) * np.float32(1.0 / (1 << 23))
             src = "int32"
         else:
             raise ValueError(f"{path}: unsupported PCM bit depth {bits}")
@@ -185,7 +194,9 @@ def write_wav(path: str | Path, audio: Audio | np.ndarray, rate: int | None = No
 def silence(duration_ms: float, rate: int) -> Audio:
     """pydub ``AudioSegment.silent`` equivalent (Code/audioPipeline.py:819)."""
     n = int(round(duration_ms * rate / 1000.0))
-    return Audio(np.zeros(n, dtype=np.float64), rate)
+    # float32: concatenating float64 silence into a float32 stream would
+    # promote the WHOLE stitched signal to (pathologically slow) float64
+    return Audio(np.zeros(n, dtype=np.float32), rate)
 
 
 def resample(audio: Audio, new_rate: int) -> Audio:
@@ -209,7 +220,9 @@ def fade(samples: np.ndarray, rate: int, fade_in_ms: float = 0.0, fade_out_ms: f
     linearly in dB from -120 dB; a linear amplitude ramp over the same 5 ms
     serves the identical purpose (click suppression at stitch points).
     """
-    out = samples.astype(np.float64).copy()
+    # dtype-preserving: float32 streams stay float32 (float64 host math is
+    # ~150× slower on this vCPU); integer input still widens to float
+    out = samples.astype(samples.dtype if samples.dtype.kind == "f" else np.float64, copy=True)
     n = out.shape[0]
     ni = min(n, int(fade_in_ms * rate / 1000.0))
     no = min(n, int(fade_out_ms * rate / 1000.0))
