@@ -39,6 +39,7 @@ from ..utils import fr_pos
 from ..utils.textgridio import TextGrid, write_textgrid
 from ..utils.wavio import Audio, read_wav, write_wav
 from .config import PipelineConfig
+from .profiling import phase
 
 log = logging.getLogger(__name__)
 
@@ -176,9 +177,16 @@ class AudioPipeline:
                 log.warning("denoise command failed (%s); copying original", e)
                 shutil.copy(brute, denoised)
         else:
-            shutil.copy(brute, denoised)
+            # identity denoise: hardlink instead of copying the (tens of MB)
+            # recording; neither path is ever mutated in place
+            denoised.unlink(missing_ok=True)
+            try:
+                import os
 
-        from ..core.profiling import phase
+                os.link(brute, denoised)
+            except OSError:
+                shutil.copy(brute, denoised)
+
         from ..ops.energy import split_on_silence_ranges
 
         with phase("preprocess/read"):
@@ -216,6 +224,13 @@ class AudioPipeline:
         seg_files = self._segment_files()
         if not seg_files:
             raise FileNotFoundError(f"no segments in {self.voice_dir / 'audio'}")
+
+        # start streaming the natural corpus to the accelerator NOW — the
+        # transfer progresses in the background behind this step's host work
+        # and the measure stage consumes the already-resident buffer
+        from ..prosody.measure import prefetch_corpus
+
+        prefetch_corpus(seg_files)
 
         if self.cfg.aligner != "precomputed":
             shutil.rmtree(tg_dir, ignore_errors=True)
@@ -298,6 +313,23 @@ class AudioPipeline:
             )
             audio = self.tts.synthesize(ssml)
             write_wav(out_audio / f"{stem}.wav", audio)
+
+        # start streaming the raw corpus device-ward behind the remaining
+        # host work (must mirror prepare_voice's path/rate arguments so the
+        # prefetch key matches)
+        seg_files = self._segment_files()
+        if seg_files:
+            from ..prosody.measure import prefetch_corpus
+            from ..utils.wavio import wav_info
+
+            try:
+                nat_rate = wav_info(seg_files[0])[1]
+            except (OSError, ValueError):
+                nat_rate = None
+            raw_paths = [out_audio / f"{p.stem}.wav" for p in seg_files]
+            prefetch_corpus(
+                [p if p.exists() else None for p in raw_paths], rate_expect=nat_rate
+            )
 
     # 4 ------------------------------------------------------------------
     def measure_prosody_and_build_ssml(self):
@@ -395,26 +427,29 @@ class AudioPipeline:
 
         chunks: dict[int, Audio | None] = {}
         content_idx = 0
-        for row in rows:
-            txt = (row.get("syntagme") or "").strip()
-            if txt and _re.search(r"\w", txt):
-                if txt == "...":
-                    continue
-                (self.xml_dir / f"{content_idx:04d}.xml").write_text(row["ssml"], encoding="utf-8")
-                try:
-                    audio = self.tts.synthesize(row["ssml"])
-                    write_wav(self.audio_out / f"{content_idx:04d}.wav", audio)
-                    chunks[content_idx] = audio
-                except Exception as e:  # noqa: BLE001 — degrade to silence
-                    log.warning("TTS failed for %r: %s", txt, e)
-                    chunks[content_idx] = None
-                content_idx += 1
+        with phase("merge/tts"):
+            for row in rows:
+                txt = (row.get("syntagme") or "").strip()
+                if txt and _re.search(r"\w", txt):
+                    if txt == "...":
+                        continue
+                    (self.xml_dir / f"{content_idx:04d}.xml").write_text(row["ssml"], encoding="utf-8")
+                    try:
+                        audio = self.tts.synthesize(row["ssml"])
+                        write_wav(self.audio_out / f"{content_idx:04d}.wav", audio)
+                        chunks[content_idx] = audio
+                    except Exception as e:  # noqa: BLE001 — degrade to silence
+                        log.warning("TTS failed for %r: %s", txt, e)
+                        chunks[content_idx] = None
+                    content_idx += 1
 
         sr = getattr(self.tts, "sample_rate", 44100)
-        result = stitch_rows(rows, chunks, sr, self.cfg.prosody.end_punctuation_pause_ms)
-        for seg, audio in result.segments.items():
-            write_wav(self.audio_ssml_dir / f"{seg}.wav", audio)
-        write_wav(self.results_dir / "OUT.wav", result.out)
+        with phase("merge/stitch"):
+            result = stitch_rows(rows, chunks, sr, self.cfg.prosody.end_punctuation_pause_ms)
+        with phase("merge/write"):
+            for seg, audio in result.segments.items():
+                write_wav(self.audio_ssml_dir / f"{seg}.wav", audio)
+            write_wav(self.results_dir / "OUT.wav", result.out)
         log.info("merged OUT.wav: %.1f s", result.out.duration_seconds)
 
     # 6 ------------------------------------------------------------------

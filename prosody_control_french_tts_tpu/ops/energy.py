@@ -83,6 +83,18 @@ def detect_silence(
     length_ms = int(len(x) * 1000 // rate)
     if length_ms < min_silence_len:
         return []
+    n_starts = max(length_ms - min_silence_len + 1, 0)
+    # The window scan is memory-bound host-adjacent work, not MXU work: the
+    # native C++ runtime (double prefix sums, audioop-parity floor) beats
+    # shipping the whole signal to a device — on remote/tunneled backends
+    # the transfer alone dwarfs the math. Device path kept as fallback.
+    from ..utils import native_audio
+
+    if int_scale == 32768.0 and not isinstance(x, jnp.ndarray) and native_audio.available():
+        win_rms = native_audio.window_rms(np.asarray(x, np.float32), rate, min_silence_len)
+        if win_rms is not None:
+            win_rms = np.asarray(win_rms[:n_starts])
+            return _silent_runs(win_rms, silence_thresh, int_scale, min_silence_len)
     # pad to a power-of-two bucket so arbitrary clip lengths reuse ONE
     # compiled program (a fresh compile per length cost seconds per clip in
     # the whisper-aligner VAD). The prefix of the padded cumsum is
@@ -98,10 +110,16 @@ def detect_silence(
             q.astype(np.float32) * np.float32(1.0 / 32768.0), xp
         ):
             xp = q.astype(np.int16)  # lossless halved transfer
-    n_starts = max(length_ms - min_silence_len + 1, 0)
     ms2 = np.asarray(_window_rms_sq(jnp.asarray(xp), rate, min_silence_len))[:n_starts]
     # pydub: audioop integer rms <= db_to_float(thresh) * max_amplitude
     win_rms = np.floor(np.sqrt(np.maximum(ms2, 0.0)) * int_scale)
+    return _silent_runs(win_rms, silence_thresh, int_scale, min_silence_len)
+
+
+def _silent_runs(
+    win_rms: np.ndarray, silence_thresh: float, int_scale: float, min_silence_len: int
+) -> list[list[int]]:
+    """Threshold per-ms window RMS and merge into pydub-parity silent ranges."""
     thresh_lin = (10.0 ** (silence_thresh / 20.0)) * int_scale
     silent = win_rms <= thresh_lin
 

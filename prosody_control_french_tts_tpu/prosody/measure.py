@@ -166,7 +166,7 @@ def _measure_device(
     return p_syn, p_seg, l_nat_syn, l_nat_seg, l_raw_syn, l_raw_seg
 
 
-def _corpus_to_device(args7):
+def _corpus_to_device(args7, pre=None):
     """Place one bucket's 7 [S, …] arrays on device. Single device:
     plain jnp.asarray. Multi-device (parallel.mesh.production_data_mesh —
     all chips on an accelerator, env-opt-in elsewhere): pad the batch axis
@@ -174,18 +174,28 @@ def _corpus_to_device(args7):
     vmap over S, so GSPMD partitions every kernel with no collectives and
     per-row results are unchanged (tests/test_production_mesh.py asserts
     parity). Padded rows are zero signals → all-unvoiced, masked windows;
-    callers slice real rows by offset so pad rows are never read."""
+    callers slice real rows by offset so pad rows are never read.
+
+    pre: optional per-slot already-on-device buffers (prefetch_corpus) —
+    used verbatim; they were placed by this same function, so sharding and
+    batch padding match."""
     from ..parallel.mesh import production_data_mesh
 
     mesh = production_data_mesh()
     if mesh is None:
-        return [jnp.asarray(a) for a in args7]
+        return [
+            (pre[i] if pre is not None and pre[i] is not None else jnp.asarray(a))
+            for i, a in enumerate(args7)
+        ]
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     nd = mesh.shape["data"]
     sh = NamedSharding(mesh, P("data"))
     out = []
-    for a in args7:
+    for i, a in enumerate(args7):
+        if pre is not None and pre[i] is not None:
+            out.append(pre[i])
+            continue
         a = np.asarray(a)
         S = a.shape[0]
         Sp = ((S + nd - 1) // nd) * nd
@@ -237,6 +247,60 @@ def measure_buckets_fused(arg_sets, statics):
 # ---------------------------------------------------------------------------
 # host orchestration
 # ---------------------------------------------------------------------------
+
+
+# --- corpus prefetch -------------------------------------------------------
+# On remote/tunneled runtimes, h2d transfers progress in the BACKGROUND while
+# the host works (measured on the v5e tunnel: a 21 MB corpus consumed 30×
+# faster after 3 s of unrelated host work). Pipeline steps call
+# prefetch_corpus() the moment a corpus exists on disk — the transfer then
+# streams behind the intervening host steps (align, raw-synth CSV work) and
+# the measure stage finds both the host arrays and the already-resident
+# device buffer here instead of paying the full transfer on its critical
+# path. Entries are keyed by (path, mtime, size) so rewritten files miss.
+_PREFETCH: dict = {}
+_PREFETCH_CAP = 4
+
+
+def _corpus_key(paths, rate_expect):
+    items = []
+    for p in paths:
+        if p is None:
+            items.append(None)
+            continue
+        try:
+            st = Path(p).stat()
+        except OSError:
+            items.append((str(p), -1, -1))
+            continue
+        items.append((str(p), st.st_mtime_ns, st.st_size))
+    return (tuple(items), int(rate_expect or 0))
+
+
+def prefetch_corpus(paths, rate_expect=None) -> None:
+    """Load a wav corpus and begin its (async) device transfer; no-op on
+    repeat calls for unchanged files. Safe to call speculatively — a miss
+    at measure time just means the normal synchronous upload."""
+    paths = list(paths)
+    key = _corpus_key(paths, rate_expect)
+    if key in _PREFETCH:
+        return
+    host = _load_padded(paths, rate_expect=rate_expect)
+    dev = _corpus_to_device([host[0]])[0]
+    while len(_PREFETCH) >= _PREFETCH_CAP:
+        _PREFETCH.pop(next(iter(_PREFETCH)))
+    _PREFETCH[key] = (host, dev)
+
+
+def _load_padded_cached(paths, rate_expect=None):
+    """(batch, lens, rate, ok, device_buffer_or_None) — prefetch-aware."""
+    key = _corpus_key(list(paths), rate_expect)
+    hit = _PREFETCH.get(key)
+    if hit is not None:
+        (batch, lens, rate, ok), dev = hit
+        return batch, lens, rate, ok, dev
+    batch, lens, rate, ok = _load_padded(paths, rate_expect=rate_expect)
+    return batch, lens, rate, ok, None
 
 
 def _load_padded(paths_or_arrays, rate_expect=None):
@@ -368,6 +432,11 @@ class PreparedVoice:
     win_raw_dev: np.ndarray
     mask: np.ndarray
     raw_slice_empty: np.ndarray
+    # already-on-device images of nat / raw_for_device from prefetch_corpus
+    # (None → run_measure_device uploads synchronously); only set when the
+    # host array was used verbatim (no dtype promotion, no fallback rewrite)
+    nat_dev: object = None
+    raw_dev: object = None
 
 
 def prepare_voice(
@@ -395,10 +464,10 @@ def prepare_voice(
         ]
 
     with phase("measure/prepare/load_nat"):
-        nat, nat_len, rate, _ = _load_padded(seg_files)
+        nat, nat_len, rate, _, nat_dev = _load_padded_cached(seg_files)
     raw_paths = [raw_audio_dir / f"{n}.wav" for n in names]
     with phase("measure/prepare/load_raw"):
-        raw, raw_len, _, raw_ok = _load_padded(
+        raw, raw_len, _, raw_ok, raw_dev = _load_padded_cached(
             [p if p.exists() else None for p in raw_paths], rate_expect=rate
         )
     if nat.dtype != raw.dtype:
@@ -406,8 +475,10 @@ def prepare_voice(
         # splice unscaled int16 values); promote whichever side is int16
         if nat.dtype == np.int16:
             nat = nat.astype(np.float32) * np.float32(1.0 / 32768.0)
+            nat_dev = None  # prefetched int16 image no longer matches
         if raw.dtype == np.int16:
             raw = raw.astype(np.float32) * np.float32(1.0 / 32768.0)
+            raw_dev = None
 
     S = len(names)
     N = max(1, max(len(s) for s in synts_per_seg))
@@ -435,11 +506,14 @@ def prepare_voice(
     # when the raw file is missing entirely, the reference falls back to
     # the *natural* slice (Code/audioPipeline.py:506-509): point the raw
     # windows at the natural signal by swapping inputs per segment
-    raw_for_device = raw.copy()
+    # alias (don't copy) when no fallback rewrite happens: keeps the
+    # prefetched device image valid, and the array is never mutated below
+    raw_for_device = raw if raw_ok.all() else raw.copy()
     raw_len_dev = raw_len.copy()
     win_raw_dev = win_raw.copy()
     T2 = raw.shape[1]
     if (~raw_ok).any():
+        raw_dev = None  # fallback rewrite invalidates the prefetched image
         need = nat.shape[1] > T2
         if need:
             raw_for_device = np.zeros((S, nat.shape[1]), raw.dtype)
@@ -469,6 +543,8 @@ def prepare_voice(
         win_raw_dev=win_raw_dev,
         mask=mask,
         raw_slice_empty=raw_slice_empty,
+        nat_dev=nat_dev,
+        raw_dev=raw_dev,
     )
 
 
@@ -479,7 +555,8 @@ def run_measure_device(prep: PreparedVoice, pp: PitchParams):
     with phase("measure/device/to_device"):
         dev = _corpus_to_device(
             [prep.nat, prep.nat_len, prep.raw_for_device, prep.raw_len_dev,
-             prep.win_nat, prep.win_raw_dev, prep.mask]
+             prep.win_nat, prep.win_raw_dev, prep.mask],
+            pre=[prep.nat_dev, None, prep.raw_dev, None, None, None, None],
         )
     with phase("measure/device/launch"):
         out = _measure_device(
