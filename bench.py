@@ -187,6 +187,48 @@ def bench_bert() -> float:
     return sentences_per_second(model, params, ds, batch_size=B, iters=iters)
 
 
+_E2E_TEXTS = {
+    2: "bonjour et bienvenue dans cette nouvelle emission consacree a la musique",
+    3: "nous allons parler aujourd'hui des grands compositeurs francais du siecle dernier",
+    4: "commencons par un portrait de claude debussy et de son oeuvre majeure",
+    5: "son prelude a l'apres midi d'un faune a change l'histoire de la musique",
+    6: "ensuite nous ecouterons quelques extraits choisis de ses melodies les plus celebres",
+    7: "maurice ravel quant a lui a compose le celebre bolero en mil neuf cent vingt huit",
+    8: "cette oeuvre repetitive et hypnotique reste l'une des plus jouees au monde",
+    9: "nous terminerons cette emission par un hommage a gabriel faure et son requiem",
+    10: "merci de nous avoir ecoutes et rendez vous la semaine prochaine pour un nouveau portrait",
+    11: "d'ici la nous vous souhaitons une excellente soiree en musique et a bientot",
+}
+
+
+def _build_e2e_voice(root, name: str) -> float:
+    """Write one voice dir (brute = all 10 bundled segments + 1.5 s gaps);
+    returns its audio seconds."""
+    from prosody_control_french_tts_tpu.utils.wavio import read_wav, write_wav
+
+    vdir = root / "Data" / "voice" / name
+    (vdir / "brute").mkdir(parents=True)
+    sigs, rate = [], 44100
+    for n in _E2E_TEXTS:
+        a = read_wav(CORPUS / f"segment_ph{n}.wav").to_mono()
+        rate = a.rate
+        sigs.append(np.asarray(a.samples, np.float32))
+        sigs.append(np.zeros(int(1.5 * rate), np.float32))
+    brute = np.concatenate(sigs)
+    write_wav(vdir / "brute" / "segment.wav", brute, rate)
+    return brute.size / rate
+
+
+def _seed_e2e_transcripts(root, name: str) -> None:
+    """Name transcripts after whatever segments the silence split produced
+    (the energy aligner is transcript-driven)."""
+    vdir = root / "Data" / "voice" / name
+    (vdir / "transcription_raw").mkdir(exist_ok=True)
+    segs = sorted((vdir / "audio").glob("*.wav"))
+    for seg, txt in zip(segs, list(_E2E_TEXTS.values()) * ((len(segs) // 3) + 1)):
+        (vdir / "transcription_raw" / f"{seg.stem}.txt").write_text(txt, encoding="utf-8")
+
+
 def bench_pipeline_e2e() -> tuple[float, dict, dict]:
     """Full 8-step voice run (Preprocess → Compare Breaks) on the WHOLE
     bundled corpus (all 10 reference segments, ≈162 s) with the FakeBackend
@@ -205,36 +247,11 @@ def bench_pipeline_e2e() -> tuple[float, dict, dict]:
     from prosody_control_french_tts_tpu.core.config import PipelineConfig
     from prosody_control_french_tts_tpu.core.pipeline import AudioPipeline
     from prosody_control_french_tts_tpu.tts.fake import FakeBackend
-    from prosody_control_french_tts_tpu.utils.wavio import read_wav, write_wav
-
-    texts = {
-        2: "bonjour et bienvenue dans cette nouvelle emission consacree a la musique",
-        3: "nous allons parler aujourd'hui des grands compositeurs francais du siecle dernier",
-        4: "commencons par un portrait de claude debussy et de son oeuvre majeure",
-        5: "son prelude a l'apres midi d'un faune a change l'histoire de la musique",
-        6: "ensuite nous ecouterons quelques extraits choisis de ses melodies les plus celebres",
-        7: "maurice ravel quant a lui a compose le celebre bolero en mil neuf cent vingt huit",
-        8: "cette oeuvre repetitive et hypnotique reste l'une des plus jouees au monde",
-        9: "nous terminerons cette emission par un hommage a gabriel faure et son requiem",
-        10: "merci de nous avoir ecoutes et rendez vous la semaine prochaine pour un nouveau portrait",
-        11: "d'ici la nous vous souhaitons une excellente soiree en musique et a bientot",
-    }
 
     def run_once(root: Path) -> tuple[float, dict, dict]:
         from prosody_control_french_tts_tpu.core import profiling
 
-        vdir = root / "Data" / "voice" / "rec"
-        (vdir / "brute").mkdir(parents=True)
-        sigs, rate = [], 44100
-        for n in texts:
-            a = read_wav(CORPUS / f"segment_ph{n}.wav").to_mono()
-            rate = a.rate
-            sigs.append(np.asarray(a.samples, np.float32))
-            sigs.append(np.zeros(int(1.5 * rate), np.float32))
-        brute = np.concatenate(sigs)
-        write_wav(vdir / "brute" / "segment.wav", brute, rate)
-        audio_seconds = brute.size / rate
-
+        audio_seconds = _build_e2e_voice(root, "rec")
         cfg = PipelineConfig.from_dict(
             {
                 "data_dir": "Data/voice",
@@ -250,12 +267,7 @@ def bench_pipeline_e2e() -> tuple[float, dict, dict]:
         t0 = time.perf_counter()
         pipe = AudioPipeline("rec", cfg, tts=FakeBackend(seed=1))
         pipe.preprocess()
-        # the energy aligner is transcript-driven: name transcripts after
-        # whatever segments the silence split produced
-        (vdir / "transcription_raw").mkdir(exist_ok=True)
-        segs = sorted((vdir / "audio").glob("*.wav"))
-        for seg, txt in zip(segs, list(texts.values()) * ((len(segs) // 3) + 1)):
-            (vdir / "transcription_raw" / f"{seg.stem}.txt").write_text(txt, encoding="utf-8")
+        _seed_e2e_transcripts(root, "rec")
         remaining = [n for n in AudioPipeline.STEP_NAMES if n != "Preprocess"]
         pipe.cfg.steps_to_run = remaining
         pipe.run()
@@ -272,6 +284,60 @@ def bench_pipeline_e2e() -> tuple[float, dict, dict]:
     # reported — the first pays any cold jit compiles
     for _warmup_then_timed in range(2):
         root = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
+        try:
+            result = run_once(root)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def bench_pipeline_multivoice(n_voices: int = 3) -> float:
+    """Steady-state MULTI-VOICE throughput: N voices (each the full bundled
+    corpus) through core.batch_runner.run_all_voices — the production shape
+    (the reference runs a 5-process pool, config.yaml:57-58). Phase 1's
+    per-voice host steps fire the corpus prefetches, so every voice's audio
+    streams to the device behind other voices' host work, and ONE batched
+    device program measures all voices from already-resident buffers:
+    transfers and host work overlap instead of serializing per voice.
+
+    Same two-run warm methodology as bench_pipeline_e2e."""
+    import shutil
+    import tempfile
+
+    from prosody_control_french_tts_tpu.core.batch_runner import run_all_voices
+    from prosody_control_french_tts_tpu.core.config import PipelineConfig
+    from prosody_control_french_tts_tpu.core.pipeline import AudioPipeline
+    from prosody_control_french_tts_tpu.tts.fake import FakeBackend
+
+    names = [f"rec{i}" for i in range(n_voices)]
+
+    def run_once(root: Path) -> float:
+        audio_seconds = sum(_build_e2e_voice(root, n) for n in names)
+        cfg = PipelineConfig.from_dict(
+            {
+                "data_dir": "Data/voice",
+                "out_dir": "Out",
+                "voice_names": names,
+                "tts_backend": "fake",
+                "aligner": "energy",
+                "silence": {"min_silence_len": 1000, "silence_thresh": -50, "keep_silence": 300},
+            },
+            root,
+        )
+        t0 = time.perf_counter()
+        for n in names:
+            AudioPipeline(n, cfg, tts=FakeBackend(seed=1)).preprocess()
+            _seed_e2e_transcripts(root, n)
+        cfg.steps_to_run = [s for s in AudioPipeline.STEP_NAMES if s != "Preprocess"]
+        results = run_all_voices(cfg, tts=FakeBackend(seed=1))
+        dt = time.perf_counter() - t0
+        assert all(ok for ok, _ in results), results
+        for n in names:
+            assert (root / "Out" / "results" / n / "OUT.wav").exists()
+        return (audio_seconds / 3600.0) / (dt / 3600.0)
+
+    for _warmup_then_timed in range(2):
+        root = Path(tempfile.mkdtemp(prefix="bench_mv_"))
         try:
             result = run_once(root)
         finally:
@@ -472,6 +538,7 @@ def main():
         extra["pipeline_e2e_audio_hours_per_hour"] = round(e2e, 1)
         extra["pipeline_e2e_step_seconds"] = {k: round(v, 2) for k, v in steps.items()}
         extra["pipeline_e2e_phase_seconds"] = {k: round(v, 2) for k, v in sorted(phases.items())}
+        extra["pipeline_multivoice_audio_hours_per_hour"] = round(bench_pipeline_multivoice(), 1)
         llm_tps = round(bench_llm_decode(), 1)
         extra["llm_decode_tokens_per_sec"] = llm_tps
         extra.update(llm_decode_roofline(llm_tps))

@@ -770,7 +770,13 @@ class WhisperAligner:
             eots = np.nonzero(toks[1:] == self.tokenizer.sep_id)[0]
             n = int(eots[0]) if eots.size else max_new
             token_lists.append([int(t) for t in toks[1 : n + 1]])
-            att_rows.append(att[i, 1 : n + 1])
+            # slice to the clip's REAL frames (see _teacher_forced_words) —
+            # the batched DP is exact in both prefixes, so per-row widths mix
+            fr = min(
+                att.shape[-1],
+                max(1, int(np.ceil(free[i]["audio"].duration_seconds / FRAME_DT))),
+            )
+            att_rows.append(att[i, 1 : n + 1, :fr])
         nonempty = [i for i in range(B) if token_lists[i]]
         spans_all = spans_from_attention_batch([att_rows[i] for i in nonempty])
         spans_by_job = dict(zip(nonempty, spans_all))
@@ -790,7 +796,13 @@ class WhisperAligner:
         mel = self.features(audio)
         enc = self.model.apply(self.params, mel[None], method=WhisperModel.encode)
         _, cross = self.model.apply(self.params, ids, enc, True, method=WhisperModel.decode)
-        n_frames = enc.shape[-2]
+        # restrict the DTW to the clip's REAL frames: the mel pads to the
+        # model window, and attention mass landing in the pad would place
+        # words past the audio end (they then clamp to zero-width spans and
+        # vanish from the TextGrid)
+        n_frames = min(
+            enc.shape[-2], max(1, int(np.ceil(audio.duration_seconds / FRAME_DT)))
+        )
         spans = token_times_from_cross_attention(cross, n_frames)[1:]
         # per-token surface strings with a leading space marking word starts
         # (NOT decode([t]): that strips the WordPiece "##" marker and would

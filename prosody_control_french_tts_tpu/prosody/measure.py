@@ -259,7 +259,9 @@ def measure_buckets_fused(arg_sets, statics):
 # device buffer here instead of paying the full transfer on its critical
 # path. Entries are keyed by (path, mtime, size) so rewritten files miss.
 _PREFETCH: dict = {}
-_PREFETCH_CAP = 4
+# sized for a multi-voice batch: 2 corpora per voice × 8 voices ≈ 350 MB of
+# device-resident int16 images on a 16 GB chip
+_PREFETCH_CAP = 16
 
 
 def _corpus_key(paths, rate_expect):
@@ -802,24 +804,82 @@ def _group_args(items):
     return (nat, nat_len, raw, raw_len, win_nat, win_raw, mask), (float(rate), T, T2)
 
 
+_PACKED_CACHE: dict = {}
+
+
+def _voice_dev_args(prep: PreparedVoice):
+    """One voice's 7 device arrays, reusing prefetched corpus buffers."""
+    return _corpus_to_device(
+        [prep.nat, prep.nat_len, prep.raw_for_device, prep.raw_len_dev,
+         prep.win_nat, prep.win_raw_dev, prep.mask],
+        pre=[prep.nat_dev, None, prep.raw_dev, None, None, None, None],
+    )
+
+
+def _dispatch_group_packed(items, pp: PitchParams):
+    """Multi-voice group dispatch that packs (dtype-promote, pad to the
+    group maxima, concat on the batch axis) INSIDE one jitted program, fed
+    per-voice device arrays. Prefetched corpus buffers (prefetch_corpus)
+    are consumed as-is — the pack costs one launch and no host↔device
+    retransfer, where the host-side _group_args pack would re-upload every
+    voice's corpus on the measure critical path."""
+    rate = float(items[0][1].rate)
+    T = max(p.nat.shape[1] for _, p in items)
+    T2 = max(p.raw_for_device.shape[1] for _, p in items)
+    N = max(p.win_nat.shape[1] for _, p in items)
+    per_voice = [_voice_dev_args(p) for _, p in items]
+    shapes_key = tuple(
+        (tuple(a.shape), str(a.dtype)) for vs in per_voice for a in vs
+    )
+    key = (shapes_key, rate, T, T2, N, pp)
+    fn = _PACKED_CACHE.get(key)
+    if fn is None:
+
+        def impl(*flat):
+            groups = [flat[7 * i : 7 * i + 7] for i in range(len(flat) // 7)]
+
+            def to_f32(a):
+                return (
+                    a.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+                    if a.dtype == jnp.int16
+                    else a
+                )
+
+            def pad1(a, n):
+                return jnp.pad(a, [(0, 0), (0, n - a.shape[1])] + [(0, 0)] * (a.ndim - 2))
+
+            audio_mixed_nat = len({g[0].dtype for g in groups}) > 1
+            audio_mixed_raw = len({g[2].dtype for g in groups}) > 1
+            nat = jnp.concatenate(
+                [pad1(to_f32(g[0]) if audio_mixed_nat else g[0], T) for g in groups]
+            )
+            raw = jnp.concatenate(
+                [pad1(to_f32(g[2]) if audio_mixed_raw else g[2], T2) for g in groups]
+            )
+            nat_len = jnp.concatenate([g[1] for g in groups])
+            raw_len = jnp.concatenate([g[3] for g in groups])
+            win_nat = jnp.concatenate([pad1(g[4], N) for g in groups])
+            win_raw = jnp.concatenate([pad1(g[5], N) for g in groups])
+            mask = jnp.concatenate([pad1(g[6], N) for g in groups])
+            return _measure_device(
+                nat, nat_len, raw, raw_len, win_nat, win_raw, mask,
+                rate=rate, T=T, T2=T2, pp=pp,
+            )
+
+        fn = jax.jit(impl)
+        _PACKED_CACHE[key] = fn
+    return items, fn(*[a for vs in per_voice for a in vs])
+
+
 def _dispatch_group(items, pp: PitchParams):
     """Launch one bucket group's device program without reading results:
     returns (items, lazy device outputs)."""
     if len(items) == 1:
         prep = items[0][1]
-        dev = _corpus_to_device(
-            [prep.nat, prep.nat_len, prep.raw_for_device, prep.raw_len_dev,
-             prep.win_nat, prep.win_raw_dev, prep.mask]
-        )
         lazy = _measure_device(
-            *dev,
+            *_voice_dev_args(prep),
             rate=float(prep.rate), T=int(prep.nat.shape[1]),
             T2=int(prep.raw_for_device.shape[1]), pp=pp,
         )
         return items, lazy
-
-    args, (rate, T, T2) = _group_args(items)
-    lazy = _measure_device(
-        *_corpus_to_device(list(args)), rate=rate, T=T, T2=T2, pp=pp
-    )
-    return items, lazy
+    return _dispatch_group_packed(items, pp)
