@@ -399,9 +399,9 @@ def bench_whisper_align() -> float:
         Audio(synth_sentence(s, seed=900_000 + i)[0], 16000)
         for i, s in enumerate(sample_sentences(n, seed=900_000))
     ]
-    al.align(clips[0])  # compile + warm
+    al.align_batch(clips)  # compile + warm (same batch shape as the timed run)
     t0 = time.perf_counter()
-    tiers = sum(len(al.align(c).tiers[0]) for c in clips)
+    tiers = sum(len(tg.tiers[0]) for tg in al.align_batch(clips))
     dt = time.perf_counter() - t0
     assert tiers > 0
     audio_s = sum(c.duration_seconds for c in clips)

@@ -543,6 +543,8 @@ class WhisperAligner:
         self.use_vad = use_vad
         self.detect_disfluencies = detect_disfluencies
         self._greedy_cache: dict = {}  # max_new → jitted decode fn
+        self._mel_cache: dict = {}  # jitted batched log-mel
+        self._forced_cache: dict = {}  # jitted teacher-forced cross-attention
 
     @classmethod
     def from_pretrained(cls, path, **kwargs) -> "WhisperAligner":
@@ -588,21 +590,42 @@ class WhisperAligner:
         elif hasattr(self.tokenizer, "save"):  # WordPiece vocab json
             self.tokenizer.save(p / "wordpiece_vocab.json")
 
-    def features(self, audio: Audio) -> jnp.ndarray:
+    def _audio_window(self, audio: Audio) -> np.ndarray:
+        """Host-side prep: mono, model rate, zero-padded to exactly the
+        model window (n_audio_ctx·2 mel frames worth of samples)."""
         from ..utils.wavio import resample
 
         audio = audio.to_mono()
         if audio.rate != SAMPLE_RATE:
             audio = resample(audio, SAMPLE_RATE)
         x = np.asarray(audio.samples, np.float32)
-        # whisper convention: zero-pad the window to exactly n_audio_ctx·2
-        # mel frames (the sinusoidal table's length after the stride-2 conv)
-        max_mel = self.cfg.n_audio_ctx * 2
-        want = max_mel * HOP
+        want = self.cfg.n_audio_ctx * 2 * HOP
         if x.shape[0] < want:
             x = np.pad(x, (0, want - x.shape[0]))
-        mel = log_mel(jnp.asarray(x), SAMPLE_RATE, n_fft=400, hop_length=HOP, n_mels=self.cfg.n_mels)
-        return mel[:max_mel]
+        return x[:want]
+
+    def _mel_batch(self, xs: np.ndarray) -> jnp.ndarray:
+        """[B, window] samples → [B, max_mel, n_mels] log-mels in ONE
+        launch, result left ON DEVICE (the decode programs consume it
+        directly — no host round trip per clip)."""
+        fn = self._mel_cache.get(None)
+        if fn is None:
+            max_mel = self.cfg.n_audio_ctx * 2
+            n_mels = self.cfg.n_mels
+
+            @jax.jit
+            def run(batch):
+                mels = jax.vmap(
+                    lambda x: log_mel(x, SAMPLE_RATE, n_fft=400, hop_length=HOP, n_mels=n_mels)
+                )(batch)
+                return mels[:, :max_mel]
+
+            fn = run
+            self._mel_cache[None] = fn
+        return fn(jnp.asarray(xs))
+
+    def features(self, audio: Audio) -> jnp.ndarray:
+        return self._mel_batch(self._audio_window(audio)[None])[0]
 
     def align(self, audio: Audio, transcript: str | None = None) -> TextGrid:
         return self.align_batch([audio], [transcript])[0]
@@ -641,8 +664,8 @@ class WhisperAligner:
         forced = [j for j in jobs if j["transcript"] is not None]
         if free:
             self._run_free_jobs(free)
-        for j in forced:
-            j["words"] = self._teacher_forced_words(j["audio"], j["transcript"])
+        if forced:
+            self._run_forced_jobs(forced)
 
         out: list[TextGrid] = []
         for idx, plan in enumerate(plans):
@@ -750,17 +773,18 @@ class WhisperAligner:
         reuse a handful of compiled programs), then ONE batched DTW over
         every job's cross-attention rows. Fills job["words"] in place."""
         max_new = min(max_tokens, self.cfg.n_text_ctx - 1)
-        mels = np.stack([np.asarray(self.features(j["audio"])) for j in free])
-        B = mels.shape[0]
+        xs = np.stack([self._audio_window(j["audio"]) for j in free])
+        B = xs.shape[0]
         Bp = 1 << max(B - 1, 1).bit_length()
         if Bp != B:
-            mels = np.pad(mels, ((0, Bp - B), (0, 0), (0, 0)))
+            xs = np.pad(xs, ((0, Bp - B), (0, 0)))
+        mels = self._mel_batch(xs)  # one launch; stays on device
         fn = self._greedy_cache.get(max_new)
         if fn is None:
             fn = make_greedy_fn(self.model, max_new)
             self._greedy_cache[max_new] = fn
         tokens, att = fn(
-            self.params, jnp.asarray(mels), self.tokenizer.cls_id, self.tokenizer.sep_id
+            self.params, mels, self.tokenizer.cls_id, self.tokenizer.sep_id
         )
         tokens = np.asarray(tokens)[:B]
         att = np.asarray(att)[:B]
@@ -787,28 +811,68 @@ class WhisperAligner:
             pieces = self.tokenizer.pieces_with_boundaries(token_lists[i])
             j["words"] = group_word_times(pieces, spans_by_job[i])
 
+    def _run_forced_jobs(self, forced: list[dict]) -> None:
+        """Teacher-forced jobs (known transcripts): ONE batched
+        encode+decode launch over the stacked mels and token rows (padded
+        to a 16-bucket; causal self-attention makes pad rows inert for the
+        sliced real rows), then ONE batched DTW. Fills job["words"]."""
+        tok_rows = []
+        for j in forced:
+            token_ids = self.tokenizer.encode(j["transcript"])[1:-1]
+            j["_token_ids"] = token_ids
+            tok_rows.append([self.tokenizer.cls_id] + token_ids)
+        L = max(len(r) for r in tok_rows)
+        Lb = min(((L + 15) // 16) * 16, self.cfg.n_text_ctx)
+        ids = np.full((len(forced), Lb), self.tokenizer.sep_id, np.int32)
+        for i, r in enumerate(tok_rows):
+            ids[i, : min(len(r), Lb)] = r[:Lb]
+        xs = np.stack([self._audio_window(j["audio"]) for j in forced])
+        B = xs.shape[0]
+        Bp = 1 << max(B - 1, 1).bit_length()
+        if Bp != B:
+            xs = np.pad(xs, ((0, Bp - B), (0, 0)))
+            ids = np.pad(ids, ((0, Bp - B), (0, 0)), constant_values=self.tokenizer.sep_id)
+        mels = self._mel_batch(xs)
+        fn = self._forced_cache.get(None)
+        if fn is None:
+            model = self.model
+
+            @jax.jit
+            def run(params, mel, toks):
+                enc = model.apply(params, mel, method=WhisperModel.encode)
+                _, cross = model.apply(params, toks, enc, True, method=WhisperModel.decode)
+                # layer- and head-averaged cross attention rows [B, L, F]
+                return jnp.mean(jnp.stack([w.mean(axis=1) for w in cross]), axis=0)
+
+            fn = run
+            self._forced_cache[None] = fn
+        att = np.asarray(fn(self.params, mels, jnp.asarray(ids)))[:B]
+        rows = []
+        for i, j in enumerate(forced):
+            n_tok = min(len(j["_token_ids"]), Lb - 1)
+            # restrict the DTW to the clip's REAL frames: attention mass in
+            # the mel pad would place words past the audio end (they then
+            # clamp to zero-width spans and vanish from the TextGrid)
+            fr = min(
+                att.shape[-1],
+                max(1, int(np.ceil(j["audio"].duration_seconds / FRAME_DT))),
+            )
+            rows.append(att[i, 1 : 1 + n_tok, :fr])
+        spans_all = spans_from_attention_batch(rows)
+        for j, spans in zip(forced, spans_all):
+            # per-token surface strings with a leading space marking word
+            # starts (NOT decode([t]): that strips the WordPiece "##" marker
+            # and would split multi-piece words); both tokenizer families
+            # implement this
+            n_tok = spans.shape[0]
+            pieces = self.tokenizer.pieces_with_boundaries(j["_token_ids"][:n_tok])
+            j["words"] = group_word_times(pieces, spans)
+
     def _teacher_forced_words(self, audio: Audio, transcript: str) -> list[AlignedWord]:
-        """Known transcript: [sot]+text through the decoder in ONE launch;
-        rows 1.. are the text tokens' cross attention (position conventions
-        match training and the greedy decode path)."""
-        token_ids = self.tokenizer.encode(transcript)[1:-1]
-        ids = jnp.asarray([[self.tokenizer.cls_id] + token_ids], jnp.int32)
-        mel = self.features(audio)
-        enc = self.model.apply(self.params, mel[None], method=WhisperModel.encode)
-        _, cross = self.model.apply(self.params, ids, enc, True, method=WhisperModel.decode)
-        # restrict the DTW to the clip's REAL frames: the mel pads to the
-        # model window, and attention mass landing in the pad would place
-        # words past the audio end (they then clamp to zero-width spans and
-        # vanish from the TextGrid)
-        n_frames = min(
-            enc.shape[-2], max(1, int(np.ceil(audio.duration_seconds / FRAME_DT)))
-        )
-        spans = token_times_from_cross_attention(cross, n_frames)[1:]
-        # per-token surface strings with a leading space marking word starts
-        # (NOT decode([t]): that strips the WordPiece "##" marker and would
-        # split multi-piece words); both tokenizer families implement this
-        pieces = self.tokenizer.pieces_with_boundaries(token_ids)
-        return group_word_times(pieces, spans)
+        """Single-clip convenience wrapper over the batched forced path."""
+        job = {"audio": audio, "transcript": transcript}
+        self._run_forced_jobs([job])
+        return job["words"]
 
     def _greedy_tokens(self, audio: Audio, max_tokens: int = 128) -> tuple[list[int], np.ndarray]:
         """One device launch: greedy KV-cache transcription (make_greedy_fn)
