@@ -828,15 +828,22 @@ def _dispatch_group_packed(items, pp: PitchParams):
     T2 = max(p.raw_for_device.shape[1] for _, p in items)
     N = max(p.win_nat.shape[1] for _, p in items)
     per_voice = [_voice_dev_args(p) for _, p in items]
+    # _corpus_to_device may pad each voice's batch axis to the data-mesh
+    # multiple; callers slice results by REAL voice sizes, so the pad rows
+    # must be dropped before concatenation
+    real_s = tuple(p.nat.shape[0] for _, p in items)
     shapes_key = tuple(
         (tuple(a.shape), str(a.dtype)) for vs in per_voice for a in vs
     )
-    key = (shapes_key, rate, T, T2, N, pp)
+    key = (shapes_key, real_s, rate, T, T2, N, pp)
     fn = _PACKED_CACHE.get(key)
     if fn is None:
 
         def impl(*flat):
-            groups = [flat[7 * i : 7 * i + 7] for i in range(len(flat) // 7)]
+            groups = [
+                tuple(a[: real_s[i]] for a in flat[7 * i : 7 * i + 7])
+                for i in range(len(flat) // 7)
+            ]
 
             def to_f32(a):
                 return (

@@ -144,3 +144,57 @@ class TestPipelineMeasureSharded:
             pipe.measure_prosody_and_build_ssml()
             csvs[tag] = (base / "Out" / "results" / name / "BDD_ssml.csv").read_bytes()
         assert csvs["single"] == csvs["mesh"]
+
+
+class TestPackedGroupDispatch:
+    def _fake_prep(self, nat, lens, win, mask, sr):
+        from prosody_control_french_tts_tpu.prosody.measure import PreparedVoice
+
+        S = nat.shape[0]
+        return PreparedVoice(
+            names=[f"seg{i}" for i in range(S)],
+            raw_seqs=[[] for _ in range(S)],
+            synts_per_seg=[[] for _ in range(S)],
+            nat=nat,
+            nat_len=lens,
+            rate=sr,
+            raw_ok=np.ones(S, bool),
+            raw_len=lens,
+            raw_for_device=nat,
+            raw_len_dev=lens,
+            win_nat=win,
+            win_raw=win,
+            win_raw_dev=win,
+            mask=mask,
+            raw_slice_empty=np.zeros_like(mask),
+        )
+
+    @pytest.mark.parametrize("mesh_env", ["0", "8"])
+    def test_packed_matches_per_voice(self, monkeypatch, mesh_env):
+        """Multi-voice packed dispatch returns each voice's own rows —
+        including under mesh padding, where each voice's device image is
+        padded to the data-axis multiple and the pack must slice the pad
+        rows away before concatenating."""
+        from prosody_control_french_tts_tpu.prosody.measure import (
+            _dispatch_group,
+            run_measure_device,
+        )
+
+        monkeypatch.setenv("PCFT_DATA_MESH", mesh_env)
+        sr, (nat, lens, _, _, win, _, mask) = _synth_batch()
+        pp = PitchParams()
+        # two voices with different row counts (3 and 2)
+        prep_a = self._fake_prep(nat, lens, win, mask, sr)
+        prep_b = self._fake_prep(nat[:2] * np.float32(0.8), lens[:2], win[:2], mask[:2], sr)
+        items, lazy = _dispatch_group([("a", prep_a), ("b", prep_b)], pp)
+        packed = [np.asarray(o) for o in lazy]
+        offset = 0
+        for name, prep in items:
+            S = prep.nat.shape[0]
+            solo = run_measure_device(prep, pp)
+            for k in range(6):
+                got = packed[k][offset : offset + S]
+                if got.ndim == 2:  # syntagme axis may pad wider in the group
+                    got = got[:, : solo[k].shape[1]]
+                np.testing.assert_allclose(got, solo[k], rtol=2e-4, atol=2e-4)
+            offset += S
