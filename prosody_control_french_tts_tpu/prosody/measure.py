@@ -23,6 +23,7 @@ not once per segment length.
 
 from __future__ import annotations
 
+import logging
 import re
 from dataclasses import dataclass, field
 from functools import partial
@@ -38,6 +39,8 @@ from ..ops.rangemax import RangeMax
 from ..ssml.syntagme import Syntagme, extract_words_and_pauses, pipeline_syntagmes
 from ..utils import fr_pos
 from ..utils.textgridio import read_textgrid
+
+log = logging.getLogger(__name__)
 from ..utils.wavio import read_wav
 from .adjust import ProsodySettings, pitch_adjust_pct, rate_adjust_pct, segment_baselines, volume_adjust_pct
 
@@ -284,14 +287,17 @@ def prefetch_corpus(paths, rate_expect=None) -> None:
     repeat calls for unchanged files. Safe to call speculatively — a miss
     at measure time just means the normal synchronous upload."""
     paths = list(paths)
-    key = _corpus_key(paths, rate_expect)
-    if key in _PREFETCH:
-        return
-    host = _load_padded(paths, rate_expect=rate_expect)
-    dev = _corpus_to_device([host[0]])[0]
-    while len(_PREFETCH) >= _PREFETCH_CAP:
-        _PREFETCH.pop(next(iter(_PREFETCH)))
-    _PREFETCH[key] = (host, dev)
+    try:
+        key = _corpus_key(paths, rate_expect)
+        if key in _PREFETCH:
+            return
+        host = _load_padded(paths, rate_expect=rate_expect)
+        dev = _corpus_to_device([host[0]])[0]
+        while len(_PREFETCH) >= _PREFETCH_CAP:
+            _PREFETCH.pop(next(iter(_PREFETCH)))
+        _PREFETCH[key] = (host, dev)
+    except Exception:  # noqa: BLE001 — prefetch is speculative, never fatal
+        log.debug("corpus prefetch failed; measure will load synchronously", exc_info=True)
 
 
 def _load_padded_cached(paths, rate_expect=None):
