@@ -92,6 +92,102 @@ def extract_frames(
     return out[:F]
 
 
+ALIGN = 1024  # Mosaic's 1-D HBM DMA start-alignment granule on this toolchain
+
+
+def _frames_kernel_aligned(starts_ref, x_hbm, win_ref, out_ref, scratch, sems):
+    """Mosaic-compatible variant: every DMA starts on an ALIGN boundary and
+    the residual (dynamic, per-frame) shift happens **in VMEM** as log₂(ALIGN)
+    static lane rotates, each applied per-row only where that bit of the
+    frame's shift is set. No unaligned DMA, no ``tpu.dynamic_rotate``.
+
+    starts_ref: [F_padded] SMEM raw frame starts; scratch: [FPB, SPAN] VMEM
+    with SPAN = padded_width + ALIGN; out_ref: [FPB, padded_width].
+    """
+    blk = pl.program_id(0)
+    base = blk * FRAMES_PER_BLOCK
+    span = scratch.shape[1]
+
+    # aligned enclosing span per frame; start all DMAs, then wait
+    for i in range(FRAMES_PER_BLOCK):
+        start = starts_ref[base + i]
+        aligned = (start // ALIGN) * ALIGN
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(aligned, span)], scratch.at[i], sems.at[i]
+        ).start()
+    for i in range(FRAMES_PER_BLOCK):
+        start = starts_ref[base + i]
+        aligned = (start // ALIGN) * ALIGN
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(aligned, span)], scratch.at[i], sems.at[i]
+        ).wait()
+
+    # [FPB, SPAN] int32 map of each row's residual shift (scalar→vector via
+    # per-row selects on a row iota — Mosaic-clean, unlike vector-from-scalar
+    # stacking)
+    row = jax.lax.broadcasted_iota(jnp.int32, (FRAMES_PER_BLOCK, span), 0)
+    shift_vec = jnp.zeros((FRAMES_PER_BLOCK, span), jnp.int32)
+    for i in range(FRAMES_PER_BLOCK):
+        start = starts_ref[base + i]
+        s = start - (start // ALIGN) * ALIGN
+        shift_vec = jnp.where(row == i, s, shift_vec)
+
+    # dynamic left-shift by s ∈ [0, ALIGN): compose static circular rolls of
+    # 1,2,4,…,ALIGN/2 lanes, each taken per-row iff that bit of s is set.
+    # Rows only ever read lanes [0, padded_width) afterwards and
+    # SPAN ≥ padded_width + ALIGN − 1, so wrapped lanes never surface.
+    acc = scratch[:, :]
+    bit = 1
+    while bit < ALIGN:
+        rolled = pltpu.roll(acc, span - bit, 1)  # left rotate by `bit`
+        acc = jnp.where((shift_vec & bit) != 0, rolled, acc)
+        bit *= 2
+    out_ref[:, :] = acc[:, : out_ref.shape[1]] * win_ref[0, : out_ref.shape[1]]
+
+
+@partial(jax.jit, static_argnames=("width", "interpret"))
+def extract_frames_aligned(
+    x: jnp.ndarray, starts: jnp.ndarray, window: jnp.ndarray, width: int, interpret: bool = False
+) -> jnp.ndarray:
+    """Like :func:`extract_frames` but built from ALIGN-aligned DMAs plus
+    in-VMEM bit-decomposed rotates, so it lowers on current Mosaic. Same
+    contract: x [T] f32, starts [F] int32 in [0, T-width], window [width]
+    → [F, width] = x[start:start+width]·window."""
+    F = starts.shape[0]
+    Fp = ((F + FRAMES_PER_BLOCK - 1) // FRAMES_PER_BLOCK) * FRAMES_PER_BLOCK
+    starts_p = jnp.zeros((Fp,), jnp.int32).at[:F].set(starts.astype(jnp.int32))
+    grid = Fp // FRAMES_PER_BLOCK
+
+    wpad = ((width + 127) // 128) * 128
+    span = wpad + ALIGN
+    win_p = jnp.zeros((1, wpad), jnp.float32).at[0, :width].set(window.astype(jnp.float32))
+    # every DMA reads [aligned, aligned+span) with aligned ≤ start ≤ T-width:
+    # pad x so the largest read stays in bounds
+    x_p = jnp.pad(x.astype(jnp.float32), (0, span))
+
+    out = pl.pallas_call(
+        _frames_kernel_aligned,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+                pl.BlockSpec((1, wpad), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (FRAMES_PER_BLOCK, wpad), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((FRAMES_PER_BLOCK, span), jnp.float32),
+                pltpu.SemaphoreType.DMA((FRAMES_PER_BLOCK,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Fp, wpad), jnp.float32),
+        interpret=interpret,
+    )(starts_p, x_p, win_p)
+    return out[:F, :width]
+
+
 def extract_frames_reference(x, starts, window, width):
     """The XLA gather path (what ops.pitch uses by default) — the oracle
     for the kernel and the fallback off-TPU."""

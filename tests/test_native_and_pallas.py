@@ -127,6 +127,28 @@ class TestPallasFrames:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
 
 
+class TestPallasFramesAligned:
+    def test_interpret_matches_gather_exactly(self, rng):
+        """The Mosaic-compatible variant (ALIGN-aligned DMA + bit-decomposed
+        static rolls) must be bit-identical to the gather path — the rotate
+        ladder only permutes lanes, it never rounds."""
+        from prosody_control_french_tts_tpu.ops.pallas_kernels import (
+            extract_frames_aligned,
+            extract_frames_reference,
+        )
+
+        T, W, F = 50000, 880, 37  # production window width (44.1 kHz pitch)
+        x = jnp.asarray(rng.normal(size=T).astype(np.float32))
+        win = jnp.asarray((0.5 - 0.5 * np.cos(2 * np.pi * np.arange(W) / W)).astype(np.float32))
+        # adversarial starts: alignment boundaries, boundary±1, full-range
+        edges = np.array([0, 1, 1023, 1024, 1025, 2047, 2048, T - W], np.int32)
+        starts = np.concatenate([edges, rng.integers(0, T - W, size=F - edges.size)])
+        starts = jnp.asarray(starts.astype(np.int32))
+        ref = extract_frames_reference(x, starts, win, W)
+        out = extract_frames_aligned(x, starts, win, W, interpret=True)
+        assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
 class TestPallasCumsum:
     def test_interpret_matches_numpy(self, rng):
         from prosody_control_french_tts_tpu.ops.pallas_kernels import CUMSUM_CHUNK, chunk_cumsum
