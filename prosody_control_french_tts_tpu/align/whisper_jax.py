@@ -667,6 +667,10 @@ class WhisperAligner:
         if forced:
             self._run_forced_jobs(forced)
 
+        by_clip: dict[int, list[dict]] = {}
+        for j in jobs:
+            by_clip.setdefault(j["clip"], []).append(j)
+
         out: list[TextGrid] = []
         for idx, plan in enumerate(plans):
             dur = plan["dur"]
@@ -676,9 +680,7 @@ class WhisperAligner:
                 )
                 continue
             words: list[AlignedWord] = []
-            for j in jobs:
-                if j["clip"] != idx:
-                    continue
+            for j in by_clip.get(idx, ()):
                 sub_dur = j["audio"].duration_seconds
                 for w in j.get("words", []):
                     s = min(w.start, sub_dur) + j["t0"]

@@ -144,6 +144,11 @@ class AudioPipeline:
             )
 
         denoised = self.voice_dir / "brute" / "segment_denoised.wav"
+        # a previous identity run may have left `denoised` HARDLINKED to the
+        # original: writing through it would truncate the user's raw
+        # recording in place (and shutil.copy would raise SameFileError), so
+        # every branch starts from a clean slate
+        denoised.unlink(missing_ok=True)
         cmd = self.cfg.raw.get("denoise_command")
         if self.cfg.raw.get("denoise") == "spectral":
             from ..audio.denoise import denoise as spectral_denoise
@@ -179,7 +184,6 @@ class AudioPipeline:
         else:
             # identity denoise: hardlink instead of copying the (tens of MB)
             # recording; neither path is ever mutated in place
-            denoised.unlink(missing_ok=True)
             try:
                 import os
 
@@ -250,14 +254,28 @@ class AudioPipeline:
         # segment; others align per segment
         batch_tgs: dict[str, TextGrid] = {}
         if self.cfg.aligner != "precomputed" and hasattr(aligner, "align_batch"):
-            audios, trs = [], []
+            # flush in bounded groups (~6 min of 44.1 kHz audio ≈ 64 MB f32)
+            # so an hour-long corpus never sits fully decoded in host RAM;
+            # each flush still amortizes launches over many segments
+            cap = 16_000_000  # samples per group
+            group: list[tuple[str, Audio, str | None]] = []
+
+            def flush():
+                if not group:
+                    return
+                stems = [g[0] for g in group]
+                tgs = aligner.align_batch([g[1] for g in group], [g[2] for g in group])
+                batch_tgs.update(zip(stems, tgs))
+                group.clear()
+
             for wav_path in seg_files:
-                audios.append(read_wav(wav_path).to_mono())
+                a = read_wav(wav_path).to_mono()
                 t_raw = txt_raw_dir / f"{wav_path.stem}.txt"
-                trs.append(t_raw.read_text(encoding="utf-8").strip() if t_raw.exists() else None)
-            batch_tgs = dict(
-                zip([p.stem for p in seg_files], aligner.align_batch(audios, trs))
-            )
+                tr = t_raw.read_text(encoding="utf-8").strip() if t_raw.exists() else None
+                group.append((wav_path.stem, a, tr))
+                if sum(g[1].samples.size for g in group) >= cap:
+                    flush()
+            flush()
 
         for wav_path in seg_files:
             stem = wav_path.stem

@@ -54,7 +54,9 @@ def _window_rms_sq(x: jnp.ndarray, rate: int, window_ms: int) -> jnp.ndarray:
     from .cumsum import chunked_cumsum_sq
 
     if x.dtype == jnp.int16:
-        x = x.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        from .pcm import i16_to_f32
+
+        x = i16_to_f32(x)
 
     per_ms = rate / 1000.0
     T = x.shape[-1]
@@ -105,11 +107,11 @@ def detect_silence(
     Tp = 1 << max(T - 1, 1).bit_length()
     xp = np.pad(np.asarray(x), (0, Tp - T)) if Tp != T else np.asarray(x)
     if xp.dtype == np.float32:
-        q = np.rint(xp * 32768.0)
-        if np.abs(q).max(initial=0.0) <= 32767.0 and np.array_equal(
-            q.astype(np.float32) * np.float32(1.0 / 32768.0), xp
-        ):
-            xp = q.astype(np.int16)  # lossless halved transfer
+        from .pcm import f32_to_i16_exact
+
+        q = f32_to_i16_exact(xp)
+        if q is not None:
+            xp = q  # lossless halved transfer
     ms2 = np.asarray(_window_rms_sq(jnp.asarray(xp), rate, min_silence_len))[:n_starts]
     # pydub: audioop integer rms <= db_to_float(thresh) * max_amplitude
     win_rms = np.floor(np.sqrt(np.maximum(ms2, 0.0)) * int_scale)

@@ -54,7 +54,12 @@ def production_data_mesh() -> Mesh | None:
     if key in _PRODUCTION_CACHE:
         return _PRODUCTION_CACHE[key]
     if env is not None:
-        n = min(len(devices), int(env))
+        try:
+            n = min(len(devices), int(env))
+        except ValueError:
+            raise ValueError(
+                f"PCFT_DATA_MESH must be an integer device count (0 disables), got {env!r}"
+            ) from None
     else:
         n = len(devices) if devices[0].platform != "cpu" else 1
     mesh = Mesh(np.asarray(devices[:n]), ("data",)) if n > 1 else None

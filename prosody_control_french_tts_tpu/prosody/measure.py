@@ -35,6 +35,7 @@ import numpy as np
 
 from ..ops.loudness import k_weight, windowed_loudness, max_blocks_for, _gated_lufs  # noqa: F401
 from ..ops.pitch import PitchParams, _pitch_frames, _geometry, median_pitch_in_windows, PitchTrack, viterbi_batched
+from ..ops import pcm
 from ..ops.rangemax import RangeMax
 from ..ssml.syntagme import Syntagme, extract_words_and_pauses, pipeline_syntagmes
 from ..utils import fr_pos
@@ -115,9 +116,9 @@ def _measure_device(
     and per-segment (median F0, LUFS nat full, LUFS raw full).
     """
     if nat.dtype == jnp.int16:
-        nat = nat.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        nat = pcm.i16_to_f32(nat)
     if raw.dtype == jnp.int16:
-        raw = raw.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        raw = pcm.i16_to_f32(raw)
     g = _geometry(T, rate, pp)
 
     freq, strength, intensity, _ = jax.vmap(
@@ -400,21 +401,8 @@ def _as_int16_if_lossless(out: np.ndarray) -> np.ndarray:
     back (_measure_device), so results are bit-identical while the
     host→device transfer halves. Resampled/synthetic float audio that
     doesn't round-trip stays float32."""
-    if out.dtype != np.float32:
-        return out
-    # fail fast on a strided sample before paying full passes over the corpus
-    probe = out.reshape(-1)[:: max(1, out.size // 4096)]
-    qp = np.rint(probe * 32768.0)
-    if np.abs(qp).max(initial=0.0) > 32767.0 or not np.array_equal(
-        qp.astype(np.float32) * np.float32(1.0 / 32768.0), probe
-    ):
-        return out
-    q = np.rint(out * 32768.0)
-    if np.abs(q).max(initial=0.0) > 32767.0:
-        return out
-    if np.array_equal(q.astype(np.float32) * np.float32(1.0 / 32768.0), out):
-        return q.astype(np.int16)
-    return out
+    q = pcm.f32_to_i16_exact(out)
+    return out if q is None else q
 
 
 def _ms_to_samp(ms: float, rate: int) -> int:
@@ -482,10 +470,10 @@ def prepare_voice(
         # int16 transfer images must never mix with float32 (numpy would
         # splice unscaled int16 values); promote whichever side is int16
         if nat.dtype == np.int16:
-            nat = nat.astype(np.float32) * np.float32(1.0 / 32768.0)
+            nat = pcm.i16_to_f32(nat)
             nat_dev = None  # prefetched int16 image no longer matches
         if raw.dtype == np.int16:
-            raw = raw.astype(np.float32) * np.float32(1.0 / 32768.0)
+            raw = pcm.i16_to_f32(raw)
             raw_dev = None
 
     S = len(names)
@@ -794,10 +782,7 @@ def _group_args(items):
         # int16 transfer images only concatenate with their own kind —
         # numpy promotion would otherwise mix unscaled int16 with float32
         if len({a.dtype for a in arrs}) > 1:
-            arrs = [
-                a.astype(np.float32) * np.float32(1.0 / 32768.0) if a.dtype == np.int16 else a
-                for a in arrs
-            ]
+            arrs = [pcm.i16_to_f32(a) if a.dtype == np.int16 else a for a in arrs]
         return np.concatenate(arrs)
 
     nat = cat_audio([padT(p.nat, T) for _, p in items])
@@ -852,11 +837,7 @@ def _dispatch_group_packed(items, pp: PitchParams):
             ]
 
             def to_f32(a):
-                return (
-                    a.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
-                    if a.dtype == jnp.int16
-                    else a
-                )
+                return pcm.i16_to_f32(a) if a.dtype == jnp.int16 else a
 
             def pad1(a, n):
                 return jnp.pad(a, [(0, 0), (0, n - a.shape[1])] + [(0, 0)] * (a.ndim - 2))

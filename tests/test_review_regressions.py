@@ -1,0 +1,106 @@
+"""Regression tests for the round-3 self-review findings:
+
+1. a previous identity-denoise run leaves ``segment_denoised.wav``
+   HARDLINKED to the raw recording — a later denoising run must never
+   truncate the original through the shared inode (data loss) and the
+   copy-fallback must not crash on SameFileError;
+2. full-scale negative samples (−32768 ↔ −1.0) are exactly representable
+   and must NOT disqualify a corpus from the lossless int16 transfer path;
+3. malformed ``PCFT_DATA_MESH`` fails fast with a clear configuration
+   error instead of an unhandled ValueError mid-pipeline.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from prosody_control_french_tts_tpu.ops import pcm
+
+
+class TestPcmExactness:
+    def test_full_scale_negative_accepted(self):
+        x = np.array([-1.0, 1.0 - 1.0 / 32768.0, 0.0, 0.5], np.float32)
+        q = pcm.f32_to_i16_exact(x)
+        assert q is not None and q.dtype == np.int16
+        assert q[0] == -32768 and q[1] == 32767
+        np.testing.assert_array_equal(pcm.i16_to_f32(q), x)
+
+    def test_overflow_rejected(self):
+        assert pcm.f32_to_i16_exact(np.array([1.0], np.float32)) is None  # +32768 unrepresentable
+        assert pcm.f32_to_i16_exact(np.array([-1.0 - 1 / 32768], np.float32)) is None
+
+    def test_inexact_rejected(self):
+        assert pcm.f32_to_i16_exact(np.array([0.1], np.float32)) is None
+
+    def test_int16_corpus_with_full_scale_sample_stays_int16(self):
+        from prosody_control_french_tts_tpu.prosody.measure import _as_int16_if_lossless
+
+        x = (np.random.default_rng(0).integers(-32768, 32768, size=(2, 4000))
+             .astype(np.float32) / np.float32(32768.0))
+        x[0, 0] = -1.0  # the adversarial full-scale sample
+        assert x.min() == -1.0
+        out = _as_int16_if_lossless(x)
+        assert out.dtype == np.int16
+
+
+class TestDenoiseHardlinkSafety:
+    def _voice(self, tmp_path, denoise=None):
+        from prosody_control_french_tts_tpu.core.config import PipelineConfig
+
+        cfg = {
+            "data_dir": "Data/voice",
+            "out_dir": "Out",
+            "voice_names": ["v"],
+            "tts_backend": "fake",
+            "aligner": "energy",
+            "silence": {"min_silence_len": 500, "silence_thresh": -50, "keep_silence": 100},
+        }
+        if denoise:
+            cfg["denoise"] = denoise
+        brute = tmp_path / "Data" / "voice" / "v" / "brute"
+        brute.mkdir(parents=True, exist_ok=True)
+        return PipelineConfig.from_dict(cfg, tmp_path), brute / "segment.wav"
+
+    def test_denoise_after_identity_run_preserves_original(self, tmp_path):
+        from prosody_control_french_tts_tpu.core.pipeline import AudioPipeline
+        from prosody_control_french_tts_tpu.tts.fake import FakeBackend
+        from prosody_control_french_tts_tpu.utils.wavio import read_wav, write_wav
+
+        rng = np.random.default_rng(1)
+        sig = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        cfg, brute = self._voice(tmp_path)
+        write_wav(brute, sig, 16000)
+        original = brute.read_bytes()
+
+        AudioPipeline("v", cfg, tts=FakeBackend(seed=1)).preprocess()  # identity → hardlink
+        denoised = brute.parent / "segment_denoised.wav"
+        assert denoised.exists()
+
+        cfg2, _ = self._voice(tmp_path, denoise="spectral")
+        AudioPipeline("v", cfg2, tts=FakeBackend(seed=1)).preprocess()
+        # the raw recording must be byte-identical — a truncating write
+        # through a stale hardlink would have destroyed it
+        assert brute.read_bytes() == original
+        den = np.asarray(read_wav(denoised).to_mono().samples, np.float32)
+        orig = np.asarray(read_wav(brute).to_mono().samples, np.float32)
+        assert not np.array_equal(den, orig)  # spectral gate actually ran
+
+
+class TestDataMeshEnvGuard:
+    def test_malformed_env_raises_config_error(self):
+        import jax
+
+        from prosody_control_french_tts_tpu.parallel.mesh import production_data_mesh
+
+        jax.devices()  # ensure backend up before touching the cache path
+        old = os.environ.get("PCFT_DATA_MESH")
+        os.environ["PCFT_DATA_MESH"] = "all"
+        try:
+            with pytest.raises(ValueError, match="PCFT_DATA_MESH"):
+                production_data_mesh()
+        finally:
+            if old is None:
+                os.environ.pop("PCFT_DATA_MESH", None)
+            else:
+                os.environ["PCFT_DATA_MESH"] = old
