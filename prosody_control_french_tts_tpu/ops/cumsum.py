@@ -29,10 +29,11 @@ class ChunkedCumsum:
 
     within_ex: jnp.ndarray  # [..., n_chunks, CHUNK] exclusive in-chunk sums
     block: jnp.ndarray  # [..., n_chunks] exclusive chunk-total prefix
+    chunk_tot: jnp.ndarray  # [..., n_chunks] raw chunk totals (local magnitude)
     length: int  # original T (static)
 
     def tree_flatten(self):
-        return (self.within_ex, self.block), (self.length,)
+        return (self.within_ex, self.block, self.chunk_tot), (self.length,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -47,7 +48,7 @@ class ChunkedCumsum:
         within = jnp.cumsum(xp, axis=-1)
         chunk_tot = within[..., -1]
         block = jnp.cumsum(chunk_tot, axis=-1) - chunk_tot  # exclusive
-        return cls(within_ex=within - xp, block=block, length=T)
+        return cls(within_ex=within - xp, block=block, chunk_tot=chunk_tot, length=T)
 
     def lookup(self, idx: jnp.ndarray) -> jnp.ndarray:
         """Prefix sum at integer indices idx [..., *I] (broadcast against the
@@ -69,6 +70,46 @@ class ChunkedCumsum:
 
     def range_sum(self, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
         return self.lookup(hi) - self.lookup(lo)
+
+    def range_sum_local(self, lo: jnp.ndarray, hi: jnp.ndarray, max_span: int) -> jnp.ndarray:
+        """``range_sum`` for windows of bounded width (hi − lo ≤ max_span
+        samples) WITHOUT differencing the global chunk-total prefix: the
+        float32 prefix grows with file position, so for hour-scale signals
+        ``lookup(hi) − lookup(lo)`` carries the prefix's absolute rounding
+        (~0.1+ at 1 h of speech power) into a window sum of order 1. Here
+        the between-chunk part is a masked sum of the ≤⌈max_span/CHUNK⌉+1
+        raw chunk totals inside the window — every term is window-sized, so
+        the error is window-relative regardless of position."""
+        lo = jnp.clip(lo, 0, self.length)
+        hi = jnp.clip(hi, 0, self.length)
+        q1, r1 = lo // CHUNK, lo % CHUNK
+        q2, r2 = hi // CHUNK, hi % CHUNK
+        K = max_span // CHUNK + 1
+        tot = self.chunk_tot  # [..., n_chunks] raw (window-magnitude) totals
+        nb = tot.shape[-1]
+        idx = jnp.clip(q1[..., None] + jnp.arange(K), 0, nb - 1)  # [..., K]
+        bdims = tot.ndim - 1
+        if bdims == 0:
+            mid = jnp.where(
+                (q1[..., None] + jnp.arange(K)) < q2[..., None], jnp.take(tot, idx), 0.0
+            ).sum(-1)
+        else:
+            flat = idx.reshape(idx.shape[:bdims] + (-1,))
+            g = jnp.take_along_axis(tot, flat, axis=-1).reshape(idx.shape)
+            mid = jnp.where((q1[..., None] + jnp.arange(K)) < q2[..., None], g, 0.0).sum(-1)
+        w1 = self._within_at(q1, r1)
+        w2 = self._within_at(q2, r2)
+        # sum over [lo, hi) = full chunks q1..q2-1, minus the [q1*C, lo) head,
+        # plus the [q2*C, hi) tail
+        return mid - w1 + w2
+
+    def _within_at(self, q: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+        flat_w = self.within_ex.reshape(self.within_ex.shape[:-2] + (-1,))
+        bdims = self.block.ndim - 1
+        if bdims == 0:
+            return jnp.take(flat_w, q * CHUNK + r)
+        wf = (q * CHUNK + r).reshape(q.shape[:bdims] + (-1,))
+        return jnp.take_along_axis(flat_w, wf, axis=-1).reshape(q.shape)
 
     @property
     def total(self) -> jnp.ndarray:

@@ -32,8 +32,14 @@ import numpy as np
 
 def rms(x: np.ndarray | jnp.ndarray, int_scale: float = 32768.0) -> float:
     """pydub/audioop RMS: sqrt(mean(sample²)) on integer-scale samples,
-    truncated to an integer (audioop returns int)."""
-    v = np.sqrt(np.mean(np.square(np.asarray(x, dtype=np.float64) * int_scale)))
+    truncated to an integer (audioop returns int).
+
+    Elementwise math stays float32 (f64 elementwise is ~150× slower on the
+    target vCPU — CLAUDE.md; this runs per wav over whole corpora in
+    eval/corpus_compare); only the reduction accumulates in float64, so the
+    result is within ~1e-7 relative of the all-f64 formulation."""
+    sq = np.square(np.asarray(x, dtype=np.float32) * np.float32(int_scale))
+    v = np.sqrt(np.sum(sq, dtype=np.float64) / max(sq.size, 1))
     return float(np.floor(v))
 
 
@@ -58,17 +64,27 @@ def _window_rms_sq(x: jnp.ndarray, rate: int, window_ms: int) -> jnp.ndarray:
 
         x = i16_to_f32(x)
 
-    per_ms = rate / 1000.0
     T = x.shape[-1]
     cs = chunked_cumsum_sq(x)
     total_ms = int(T * 1000 // rate)
     n_starts = max(total_ms - window_ms + 1, 0)
+
+    def ms_to_samp(ms):
+        # exact ⌊ms·rate/1000⌋ in int32: ms·rate overflows int32 and a
+        # float32 product loses integer precision past 2²⁴ (~6 min of
+        # 44.1 kHz), which misaligned window boundaries on long recordings
+        q, r = ms // 1000, ms % 1000
+        return q * rate + (r * rate) // 1000
+
     starts_ms = jnp.arange(n_starts)
-    lo = (starts_ms * per_ms).astype(jnp.int32)
-    hi = ((starts_ms + window_ms) * per_ms).astype(jnp.int32)
-    hi = jnp.minimum(hi, T)
+    lo = ms_to_samp(starts_ms)
+    hi = jnp.minimum(ms_to_samp(starts_ms + window_ms), T)
     cnt = jnp.maximum(hi - lo, 1)
-    return cs.range_sum(lo, hi) / cnt
+    # bounded-width range sums: differencing the global float32 prefix
+    # would put position-proportional rounding (multi-dB at hour scale)
+    # into near-threshold windows
+    max_span = (window_ms * rate) // 1000 + 1
+    return cs.range_sum_local(lo, hi, max_span) / cnt
 
 
 def detect_silence(

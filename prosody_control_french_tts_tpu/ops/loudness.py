@@ -102,6 +102,9 @@ def _next_pow2(n: int) -> int:
 # TPU (floor-free measurement at [10, 1M] samples on v5e: fft 14.4 ms,
 # fir bf16x6 ≈ 3.9 ms; 2-way splits are NOT enough here — the highpass
 # kernel's cancellation κ≈100 amplifies 2⁻¹⁶ to 2e-3) and fft elsewhere.
+# NOTE: read at TRACE time — flipping it after a (rate, num_samples) shape
+# has compiled is a silent no-op for that shape unless k_weight.clear_cache()
+# runs (tests do); it is a test/bench knob, not a runtime switch.
 KWEIGHT_IMPL = "auto"
 
 _FIR_TAPS = 2560  # |h| tail ≈ 6e-8 at 44.1 kHz (38 Hz pole, Q=0.5)
@@ -162,15 +165,21 @@ def _k_weight_fir(x: jnp.ndarray, rate: float, T: int) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("rate", "num_samples"))
 def k_weight(x: jnp.ndarray, rate: float, num_samples: int | None = None) -> jnp.ndarray:
-    """K-weighted signal, same shape as x ([..., T])."""
-    T = int(x.shape[-1]) if num_samples is None else num_samples
+    """K-weighted signal, SAME SHAPE as x ([..., T]) in both impls.
+    ``num_samples`` (≤ T) marks how many leading samples are real — the fft
+    mode sizes its transform from it; output samples past it are
+    unspecified (zero-padding decay) and must not be consumed."""
+    Tx = int(x.shape[-1])
+    T = Tx if num_samples is None else num_samples
     if _kweight_mode() == "fir_mxu":
         return _k_weight_fir(x, rate, T).astype(x.dtype)
     pad = 8192  # > 1000 decay constants of the 38 Hz pole
     nfft = _next_pow2(T + pad)
     H = jnp.asarray(_cascade_response(rate, nfft))
     spec = jnp.fft.rfft(x, n=nfft, axis=-1) * H
-    return jnp.fft.irfft(spec, n=nfft, axis=-1)[..., :T].astype(x.dtype)
+    y = jnp.fft.irfft(spec, n=nfft, axis=-1)
+    y = y[..., :Tx] if y.shape[-1] >= Tx else jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, Tx - y.shape[-1])])
+    return y.astype(x.dtype)
 
 
 def _gated_lufs(z: jnp.ndarray, nblocks: jnp.ndarray, gain_db: jnp.ndarray | float = 0.0):

@@ -134,6 +134,8 @@ def _cos_lag_matrix(nfft: int, n_lags: int) -> np.ndarray:
 # v5e at the corpus bucket shape [23575, 880]: rfft+cosmat 12.2 ms vs
 # bf16x3-DFT 1.2 ms — XLA's TPU FFT cannot touch the systolic array) and
 # rfft elsewhere (CPU FFT beats dense matmuls at these sizes).
+# NOTE: read at TRACE time (same caveat as loudness.KWEIGHT_IMPL) — a flip
+# after compilation is a silent no-op until _pitch_frames.clear_cache().
 SPECTRUM_IMPL = "auto"
 
 
@@ -742,7 +744,10 @@ def median_pitch_in_windows(
     f0 = track.f0  # [..., F]
     t0 = windows[..., 0][..., None]
     t1 = windows[..., 1][..., None]
-    in_win = (t >= t0) & (t <= t1)  # [..., N, F]
+    # strict upper bound — [t0, t1): adjacent syntagme windows share edges
+    # (end of one == start of next), so an inclusive bound would count a
+    # boundary-centred frame into BOTH medians
+    in_win = (t >= t0) & (t < t1)  # [..., N, F]
     voiced = f0[..., None, :] > 0
     m = in_win & voiced
     if mask is not None:

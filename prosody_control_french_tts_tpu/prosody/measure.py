@@ -515,7 +515,6 @@ def prepare_voice(
             raw_for_device = np.zeros((S, nat.shape[1]), raw.dtype)
             raw_for_device[:, :T2] = raw
             T2 = nat.shape[1]
-            raw_len_dev = raw_len.copy()
         for i in range(S):
             if not raw_ok[i]:
                 raw_for_device[i, : int(nat_len[i])] = nat[i, : int(nat_len[i])]
@@ -729,13 +728,9 @@ def measure_voices_batched(
 
     if len(groups) > 1:
         # several length buckets → ONE fused device program (one launch;
-        # launches don't overlap on remote runtimes — see measure_buckets_fused)
-        group_items = [list(sub.items()) for sub in groups.values()]
-        packed = [_group_args(items) for items in group_items]
-        outs, _ = measure_buckets_fused(
-            [args for args, _ in packed], [st + (pp,) for _, st in packed]
-        )
-        dispatched = list(zip(group_items, outs))
+        # launches don't overlap on remote runtimes) packed in-program from
+        # per-voice (prefetched) device buffers — no host re-pack/re-upload
+        dispatched = _dispatch_groups_fused([list(sub.items()) for sub in groups.values()], pp)
     else:
         dispatched = [_dispatch_group(list(sub.items()), pp) for sub in groups.values()]
     results: dict[str, MeasureResult] = {}
@@ -758,43 +753,6 @@ def measure_voices_batched(
     return results
 
 
-def _group_args(items):
-    """Pack one bucket group's voices into the 7 concatenated device arrays
-    + the static (rate, T, T2) key (shared by per-group and fused dispatch)."""
-    rate = items[0][1].rate
-    assert all(p.rate == rate for _, p in items), "bucket group mixes sample rates"
-    T = max(p.nat.shape[1] for _, p in items)
-    T2 = max(p.raw_for_device.shape[1] for _, p in items)
-    N = max(p.win_nat.shape[1] for _, p in items)
-
-    def padT(a, t):
-        out = np.zeros((a.shape[0], t), a.dtype)
-        out[:, : a.shape[1]] = a
-        return out
-
-    def padN(a, n):
-        shape = (a.shape[0], n) + a.shape[2:]
-        out = np.zeros(shape, a.dtype)
-        out[:, : a.shape[1]] = a
-        return out
-
-    def cat_audio(arrs):
-        # int16 transfer images only concatenate with their own kind —
-        # numpy promotion would otherwise mix unscaled int16 with float32
-        if len({a.dtype for a in arrs}) > 1:
-            arrs = [pcm.i16_to_f32(a) if a.dtype == np.int16 else a for a in arrs]
-        return np.concatenate(arrs)
-
-    nat = cat_audio([padT(p.nat, T) for _, p in items])
-    nat_len = np.concatenate([p.nat_len for _, p in items])
-    raw = cat_audio([padT(p.raw_for_device, T2) for _, p in items])
-    raw_len = np.concatenate([p.raw_len_dev for _, p in items])
-    win_nat = np.concatenate([padN(p.win_nat, N) for _, p in items])
-    win_raw = np.concatenate([padN(p.win_raw_dev, N) for _, p in items])
-    mask = np.concatenate([padN(p.mask, N) for _, p in items])
-    return (nat, nat_len, raw, raw_len, win_nat, win_raw, mask), (float(rate), T, T2)
-
-
 _PACKED_CACHE: dict = {}
 
 
@@ -807,62 +765,82 @@ def _voice_dev_args(prep: PreparedVoice):
     )
 
 
-def _dispatch_group_packed(items, pp: PitchParams):
-    """Multi-voice group dispatch that packs (dtype-promote, pad to the
-    group maxima, concat on the batch axis) INSIDE one jitted program, fed
-    per-voice device arrays. Prefetched corpus buffers (prefetch_corpus)
-    are consumed as-is — the pack costs one launch and no host↔device
-    retransfer, where the host-side _group_args pack would re-upload every
-    voice's corpus on the measure critical path."""
-    rate = float(items[0][1].rate)
-    T = max(p.nat.shape[1] for _, p in items)
-    T2 = max(p.raw_for_device.shape[1] for _, p in items)
-    N = max(p.win_nat.shape[1] for _, p in items)
-    per_voice = [_voice_dev_args(p) for _, p in items]
-    # _corpus_to_device may pad each voice's batch axis to the data-mesh
-    # multiple; callers slice results by REAL voice sizes, so the pad rows
-    # must be dropped before concatenation
-    real_s = tuple(p.nat.shape[0] for _, p in items)
-    shapes_key = tuple(
-        (tuple(a.shape), str(a.dtype)) for vs in per_voice for a in vs
+def _pack_and_measure(groups, rate, T, T2, N, pp):
+    """Traced pack of one bucket group (dtype-promote, pad to the group
+    maxima, concat on the batch axis) feeding _measure_device — runs INSIDE
+    a jitted program, so per-voice device buffers are consumed with no
+    host↔device retransfer."""
+
+    def to_f32(a):
+        return pcm.i16_to_f32(a) if a.dtype == jnp.int16 else a
+
+    def pad1(a, n):
+        return jnp.pad(a, [(0, 0), (0, n - a.shape[1])] + [(0, 0)] * (a.ndim - 2))
+
+    audio_mixed_nat = len({g[0].dtype for g in groups}) > 1
+    audio_mixed_raw = len({g[2].dtype for g in groups}) > 1
+    nat = jnp.concatenate([pad1(to_f32(g[0]) if audio_mixed_nat else g[0], T) for g in groups])
+    raw = jnp.concatenate([pad1(to_f32(g[2]) if audio_mixed_raw else g[2], T2) for g in groups])
+    nat_len = jnp.concatenate([g[1] for g in groups])
+    raw_len = jnp.concatenate([g[3] for g in groups])
+    win_nat = jnp.concatenate([pad1(g[4], N) for g in groups])
+    win_raw = jnp.concatenate([pad1(g[5], N) for g in groups])
+    mask = jnp.concatenate([pad1(g[6], N) for g in groups])
+    return _measure_device(
+        nat, nat_len, raw, raw_len, win_nat, win_raw, mask, rate=rate, T=T, T2=T2, pp=pp
     )
-    key = (shapes_key, real_s, rate, T, T2, N, pp)
+
+
+def _dispatch_groups_fused(group_items, pp: PitchParams):
+    """ONE device launch for one OR several bucket groups, packing every
+    group inside the program from per-voice device arrays. This combines
+    measure_buckets_fused's single-launch shape (remote launches cost
+    ~30 ms and do not overlap) with the in-program pack's zero-retransfer
+    property: prefetched corpus buffers (prefetch_corpus) are consumed
+    as-is, where a host-side _group_args pack would re-upload every voice's
+    corpus on the measure critical path.
+
+    Returns [(items, lazy 6-tuple outputs)] matching ``group_items``."""
+    metas = []
+    flat_args = []
+    for items in group_items:
+        rate = float(items[0][1].rate)
+        T = max(p.nat.shape[1] for _, p in items)
+        T2 = max(p.raw_for_device.shape[1] for _, p in items)
+        N = max(p.win_nat.shape[1] for _, p in items)
+        # _corpus_to_device may pad each voice's batch axis to the data-mesh
+        # multiple; callers slice results by REAL voice sizes, so the pad
+        # rows must be dropped before concatenation
+        real_s = tuple(p.nat.shape[0] for _, p in items)
+        metas.append((rate, T, T2, N, real_s))
+        for _, p in items:
+            flat_args.extend(_voice_dev_args(p))
+    shapes_key = tuple((tuple(a.shape), str(a.dtype)) for a in flat_args)
+    key = (shapes_key, tuple(metas), pp)
     fn = _PACKED_CACHE.get(key)
     if fn is None:
+        metas_c = tuple(metas)
 
         def impl(*flat):
-            groups = [
-                tuple(a[: real_s[i]] for a in flat[7 * i : 7 * i + 7])
-                for i in range(len(flat) // 7)
-            ]
-
-            def to_f32(a):
-                return pcm.i16_to_f32(a) if a.dtype == jnp.int16 else a
-
-            def pad1(a, n):
-                return jnp.pad(a, [(0, 0), (0, n - a.shape[1])] + [(0, 0)] * (a.ndim - 2))
-
-            audio_mixed_nat = len({g[0].dtype for g in groups}) > 1
-            audio_mixed_raw = len({g[2].dtype for g in groups}) > 1
-            nat = jnp.concatenate(
-                [pad1(to_f32(g[0]) if audio_mixed_nat else g[0], T) for g in groups]
-            )
-            raw = jnp.concatenate(
-                [pad1(to_f32(g[2]) if audio_mixed_raw else g[2], T2) for g in groups]
-            )
-            nat_len = jnp.concatenate([g[1] for g in groups])
-            raw_len = jnp.concatenate([g[3] for g in groups])
-            win_nat = jnp.concatenate([pad1(g[4], N) for g in groups])
-            win_raw = jnp.concatenate([pad1(g[5], N) for g in groups])
-            mask = jnp.concatenate([pad1(g[6], N) for g in groups])
-            return _measure_device(
-                nat, nat_len, raw, raw_len, win_nat, win_raw, mask,
-                rate=rate, T=T, T2=T2, pp=pp,
-            )
+            outs = []
+            off = 0
+            for rate, T, T2, N, real_s in metas_c:
+                groups = [
+                    tuple(a[: real_s[i]] for a in flat[off + 7 * i : off + 7 * i + 7])
+                    for i in range(len(real_s))
+                ]
+                off += 7 * len(real_s)
+                outs.append(_pack_and_measure(groups, rate, T, T2, N, pp))
+            return tuple(outs)
 
         fn = jax.jit(impl)
         _PACKED_CACHE[key] = fn
-    return items, fn(*[a for vs in per_voice for a in vs])
+    return list(zip(group_items, fn(*flat_args)))
+
+
+def _dispatch_group_packed(items, pp: PitchParams):
+    """Single bucket group through the fused packed dispatch."""
+    return _dispatch_groups_fused([items], pp)[0]
 
 
 def _dispatch_group(items, pp: PitchParams):

@@ -206,19 +206,19 @@ class TestMixedRateBatching:
         assert preps["v44"].rate != preps["v16"].rate
         assert preps["v44"].nat.shape[1] == preps["v16"].nat.shape[1]  # same bucket T
 
-        # the two rates must reach the (fused multi-bucket) device dispatch
+        # the two rates must reach the (fused multi-group) device dispatch
         # as SEPARATE groups with their own static rates
         calls = []
-        orig = M.measure_buckets_fused
+        orig = M._dispatch_groups_fused
 
-        def spy(arg_sets, statics):
-            calls.append([st[0] for st in statics])
-            return orig(arg_sets, statics)
+        def spy(group_items, pp):
+            calls.append([float(items[0][1].rate) for items in group_items])
+            return orig(group_items, pp)
 
-        M.measure_buckets_fused, saved = spy, orig
+        M._dispatch_groups_fused, saved = spy, orig
         try:
             res = M.measure_voices_batched(preps, settings)
         finally:
-            M.measure_buckets_fused = saved
+            M._dispatch_groups_fused = saved
         assert calls and sorted(calls[0]) == [16000.0, 44100.0]
         assert set(res) == {"v16", "v44"}

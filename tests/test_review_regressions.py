@@ -44,6 +44,43 @@ class TestPcmExactness:
         assert out.dtype == np.int16
 
 
+class TestRangeSumLocalPrecision:
+    def test_matches_f64_oracle_on_random_windows(self):
+        import jax.numpy as jnp
+
+        from prosody_control_french_tts_tpu.ops.cumsum import CHUNK, ChunkedCumsum
+
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal(6 * CHUNK + 123).astype(np.float32)
+        cs = ChunkedCumsum.build(jnp.asarray(x))
+        ref = np.cumsum(np.concatenate([[0.0], x.astype(np.float64)]))
+        W = 3 * CHUNK + 7
+        lo = np.array([0, 1, CHUNK - 1, CHUNK, 2 * CHUNK + 5, x.size - W, x.size - 1], np.int32)
+        hi = np.minimum(lo + rng.integers(0, W, size=lo.size).astype(np.int32), x.size)
+        got = np.asarray(cs.range_sum_local(jnp.asarray(lo), jnp.asarray(hi), W))
+        want = ref[hi] - ref[lo]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    def test_quiet_window_after_loud_hour_scale_prefix(self):
+        """The global-prefix difference loses a quiet window entirely once
+        the f32 cumsum magnitude dwarfs it; the local form must not."""
+        import jax.numpy as jnp
+
+        from prosody_control_french_tts_tpu.ops.cumsum import ChunkedCumsum
+
+        T = 1 << 21  # power sum reaches ~2.1e6 → f32 ulp 0.25
+        x = np.ones(T, np.float32)
+        x[-50_000:] = 1e-3
+        cs = ChunkedCumsum.build(jnp.asarray(np.square(x)))
+        W = 44_100
+        lo, hi = T - W - 100, T - 100
+        true = W * 1e-6
+        local = float(np.asarray(cs.range_sum_local(jnp.asarray([lo]), jnp.asarray([hi]), W + 1))[0])
+        assert abs(local - true) / true < 1e-3
+        # (the global form's error at this magnitude is ~0.25/0.044 ≈ 500 % —
+        # documented motivation, not asserted, since it could round either way)
+
+
 class TestDenoiseHardlinkSafety:
     def _voice(self, tmp_path, denoise=None):
         from prosody_control_french_tts_tpu.core.config import PipelineConfig
