@@ -210,6 +210,13 @@ class AudioPipeline:
                 write_wav(out_dir / f"segment_ph{i + 1}.wav", audio.slice_ms(s, e))
         log.info("silence split: %d segments", len(ranges))
 
+        # the natural corpus is final from this point — start its (async)
+        # device transfer now so it streams behind the align/raw-synthesis
+        # host work instead of landing on the measure critical path
+        from ..prosody.measure import prefetch_corpus
+
+        prefetch_corpus(self._segment_files())
+
     # 2 ------------------------------------------------------------------
     def align_and_transcribe(self):
         """Aligner → TextGrids + transcripts (Code/audioPipeline.py:179-241).

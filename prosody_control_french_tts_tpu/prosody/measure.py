@@ -101,6 +101,47 @@ class MeasureResult:
 # ---------------------------------------------------------------------------
 
 
+def _pitch_part(nat, nat_len, win_nat, mask, rate: float, T: int, pp: PitchParams):
+    """Traced natural-side pitch: Boersma frames + Viterbi + windowed
+    medians. Returns (p_syn [S,N], p_seg [S])."""
+    g = _geometry(T, rate, pp)
+
+    freq, strength, intensity, _ = jax.vmap(
+        lambda sig, length: _pitch_frames(sig, rate, T, pp, length)
+    )(nat, nat_len.astype(jnp.float32))
+    f0 = viterbi_batched(freq, strength, intensity, pp, g["dt"])  # [S, F]
+    times = g["first_time"] + np.arange(g["n_frames"]) * g["dt"]  # host constants
+
+    # syntagme-window pitch medians (seconds)
+    win_s = win_nat.astype(jnp.float32) / rate
+    track = PitchTrack(f0=f0, times=times, dt=g["dt"])
+    p_syn = median_pitch_in_windows(track, win_s, mask)  # [S, N]
+    # full-segment median
+    full_win = jnp.stack([jnp.zeros_like(nat_len), nat_len], axis=-1).astype(jnp.float32) / rate
+    p_seg = median_pitch_in_windows(track, full_win[:, None, :])[:, 0]
+    return p_syn, p_seg
+
+
+def _lufs_part(x, x_len, wins, rate: float, max_t: int):
+    """Traced windowed gated LUFS with the full-file fallback column."""
+    y = k_weight(x, rate, num_samples=max_t)
+    rmax = RangeMax.build(x)
+    # append the full-file window (the short-syntagme fallback target)
+    # as one extra column so ONE windowed_loudness call — and thus one
+    # chunked-cumsum build over the signal — serves both
+    fw = jnp.stack([jnp.zeros_like(x_len), x_len], axis=-1)[:, None, :]
+    wins_ext = jnp.concatenate([wins, fw], axis=1)  # [S, N+1, 2]
+    peaks = rmax.query(wins_ext[..., 0], wins_ext[..., 1])
+    peaks = jnp.where(peaks > 0, peaks, 1.0)  # reference `or 1.0`
+    mb = max_blocks_for(max_t, rate)
+    lufs_ext, valid_ext = windowed_loudness(
+        y, rate, wins_ext[..., 0], wins_ext[..., 1], peaks, max_blocks=mb
+    )
+    flufs = jnp.where(valid_ext[:, -1], lufs_ext[:, -1], -70.0)
+    out = jnp.where(valid_ext[:, :-1], lufs_ext[:, :-1], flufs[:, None])
+    return out, flufs
+
+
 @partial(jax.jit, static_argnames=("rate", "T", "T2", "pp"))
 def _measure_device(
     nat, nat_len, raw, raw_len, win_nat, win_raw, mask, rate: float, T: int, T2: int, pp: PitchParams
@@ -119,60 +160,98 @@ def _measure_device(
         nat = pcm.i16_to_f32(nat)
     if raw.dtype == jnp.int16:
         raw = pcm.i16_to_f32(raw)
-    g = _geometry(T, rate, pp)
-
-    freq, strength, intensity, _ = jax.vmap(
-        lambda sig, length: _pitch_frames(sig, rate, T, pp, length)
-    )(nat, nat_len.astype(jnp.float32))
-    f0 = viterbi_batched(freq, strength, intensity, pp, g["dt"])  # [S, F]
-    times = g["first_time"] + np.arange(g["n_frames"]) * g["dt"]  # host constants
-
-    # syntagme-window pitch medians (seconds)
-    win_s = win_nat.astype(jnp.float32) / rate
-    track = PitchTrack(f0=f0, times=times, dt=g["dt"])
-    p_syn = median_pitch_in_windows(track, win_s, mask)  # [S, N]
-    # full-segment median
-    full_win = jnp.stack([jnp.zeros_like(nat_len), nat_len], axis=-1).astype(jnp.float32) / rate
-    p_seg = median_pitch_in_windows(track, full_win[:, None, :])[:, 0]
-
-    def lufs_for(x, x_len, wins, max_t):
-        y = k_weight(x, rate, num_samples=max_t)
-        rmax = RangeMax.build(x)
-        # append the full-file window (the short-syntagme fallback target)
-        # as one extra column so ONE windowed_loudness call — and thus one
-        # chunked-cumsum build over the signal — serves both
-        fw = jnp.stack([jnp.zeros_like(x_len), x_len], axis=-1)[:, None, :]
-        wins_ext = jnp.concatenate([wins, fw], axis=1)  # [S, N+1, 2]
-        peaks = rmax.query(wins_ext[..., 0], wins_ext[..., 1])
-        peaks = jnp.where(peaks > 0, peaks, 1.0)  # reference `or 1.0`
-        mb = max_blocks_for(max_t, rate)
-        lufs_ext, valid_ext = windowed_loudness(
-            y, rate, wins_ext[..., 0], wins_ext[..., 1], peaks, max_blocks=mb
-        )
-        flufs = jnp.where(valid_ext[:, -1], lufs_ext[:, -1], -70.0)
-        out = jnp.where(valid_ext[:, :-1], lufs_ext[:, :-1], flufs[:, None])
-        return out, flufs
+    p_syn, p_seg = _pitch_part(nat, nat_len, win_nat, mask, rate, T, pp)
 
     if T == T2:
         # one batched pass over both corpora halves the FFT/cumsum launches
-        both_syn, both_seg = lufs_for(
+        both_syn, both_seg = _lufs_part(
             jnp.concatenate([nat, raw], axis=0),
             jnp.concatenate([nat_len, raw_len], axis=0),
             jnp.concatenate([win_nat, win_raw], axis=0),
+            rate,
             T,
         )
         S = nat.shape[0]
         l_nat_syn, l_raw_syn = both_syn[:S], both_syn[S:]
         l_nat_seg, l_raw_seg = both_seg[:S], both_seg[S:]
     else:
-        l_nat_syn, l_nat_seg = lufs_for(nat, nat_len, win_nat, T)
-        l_raw_syn, l_raw_seg = lufs_for(raw, raw_len, win_raw, T2)
+        l_nat_syn, l_nat_seg = _lufs_part(nat, nat_len, win_nat, rate, T)
+        l_raw_syn, l_raw_seg = _lufs_part(raw, raw_len, win_raw, rate, T2)
     return p_syn, p_seg, l_nat_syn, l_nat_seg, l_raw_syn, l_raw_seg
 
 
-def _corpus_to_device(args7, pre=None):
+@partial(jax.jit, static_argnames=("rate", "T", "pp"))
+def _measure_nat_device(nat, nat_len, win_nat, mask, rate: float, T: int, pp: PitchParams):
+    """Natural-side half of _measure_device (pitch + nat LUFS) as its own
+    program: the single-voice path launches it FIRST so it executes while
+    the raw corpus is still streaming host→device in the background — on
+    remote runtimes the raw upload otherwise sits on the measure critical
+    path (raw synthesis finishes immediately before measure, so there is
+    no host work left to hide it behind)."""
+    if nat.dtype == jnp.int16:
+        nat = pcm.i16_to_f32(nat)
+    p_syn, p_seg = _pitch_part(nat, nat_len, win_nat, mask, rate, T, pp)
+    l_nat_syn, l_nat_seg = _lufs_part(nat, nat_len, win_nat, rate, T)
+    return p_syn, p_seg, l_nat_syn, l_nat_seg
+
+
+@partial(jax.jit, static_argnames=("rate", "T2"))
+def _measure_raw_device(raw, raw_len, win_raw, rate: float, T2: int):
+    """Raw-side half of _measure_device (raw LUFS only — no pitch)."""
+    if raw.dtype == jnp.int16:
+        raw = pcm.i16_to_f32(raw)
+    return _lufs_part(raw, raw_len, win_raw, rate, T2)
+
+
+@partial(jax.jit, static_argnames=("t",))
+def _unpack_rows(flat, offs, lens, t: int):
+    """[total≲S·t] compact row storage → [S, t] padded batch (row i =
+    flat[offs[i] : offs[i]+lens[i]] then zeros). One memory-bound gather;
+    offsets/lengths are runtime args so the compiled program is reused
+    across corpora that share (S, t, flat bucket)."""
+    pos = jnp.arange(t, dtype=jnp.int32)[None, :]
+    valid = pos < lens[:, None]
+    idx = jnp.where(valid, offs[:, None] + pos, 0)
+    return jnp.where(valid, flat[idx], jnp.zeros((), flat.dtype))
+
+
+def _audio_to_device(a: np.ndarray, lens) -> jnp.ndarray:
+    """device_put of a padded [S, T] corpus that TRANSFERS only the real
+    samples: rows are packed end-to-end on the host (memcpy), streamed
+    compactly, and re-expanded to the padded layout by one on-device
+    gather — bit-identical to device_put(a) (rows beyond lens are zero in
+    both). On remote runtimes the h2d link is the measure step's floor
+    (~40 MB/s tunnel), and voice-max padding inflates the bundled corpus
+    ~2.8×, so this is a direct wall-clock cut. Falls back to a plain put
+    when padding is small (< 4/3) or the layout doesn't qualify."""
+    if a.ndim != 2:
+        return jnp.asarray(a)
+    S, T = a.shape
+    ln = np.asarray(lens, np.int64)
+    if ln.shape != (S,) or (ln < 0).any() or (ln > T).any():
+        return jnp.asarray(a)
+    total = int(ln.sum())
+    if total == 0 or total > (3 * S * T) // 4 or total + T > 2**31 - 1:
+        return jnp.asarray(a)
+    flat_t = max(bucket_length(total), 1)
+    flat = np.zeros(flat_t, a.dtype)
+    offs = np.zeros(S, np.int32)
+    o = 0
+    for i in range(S):
+        n = int(ln[i])
+        flat[o : o + n] = a[i, :n]
+        offs[i] = o
+        o += n
+    return _unpack_rows(
+        jax.device_put(flat), jax.device_put(offs), jax.device_put(ln.astype(np.int32)), T
+    )
+
+
+def _corpus_to_device(args7, pre=None, lens=None):
     """Place one bucket's 7 [S, …] arrays on device. Single device:
-    plain jnp.asarray. Multi-device (parallel.mesh.production_data_mesh —
+    plain jnp.asarray — except the big audio batches, which stream
+    compactly when ``lens`` provides their per-row real lengths
+    (_audio_to_device). Multi-device (parallel.mesh.production_data_mesh —
     all chips on an accelerator, env-opt-in elsewhere): pad the batch axis
     to the data-axis size and shard it P("data") — _measure_device is pure
     vmap over S, so GSPMD partitions every kernel with no collectives and
@@ -182,13 +261,22 @@ def _corpus_to_device(args7, pre=None):
 
     pre: optional per-slot already-on-device buffers (prefetch_corpus) —
     used verbatim; they were placed by this same function, so sharding and
-    batch padding match."""
+    batch padding match. lens: optional per-slot [S] real row lengths
+    (audio slots only; None → plain put)."""
     from ..parallel.mesh import production_data_mesh
 
     mesh = production_data_mesh()
     if mesh is None:
         return [
-            (pre[i] if pre is not None and pre[i] is not None else jnp.asarray(a))
+            (
+                pre[i]
+                if pre is not None and pre[i] is not None
+                else (
+                    _audio_to_device(np.asarray(a), lens[i])
+                    if lens is not None and lens[i] is not None and isinstance(a, np.ndarray)
+                    else jnp.asarray(a)
+                )
+            )
             for i, a in enumerate(args7)
         ]
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -293,7 +381,7 @@ def prefetch_corpus(paths, rate_expect=None) -> None:
         if key in _PREFETCH:
             return
         host = _load_padded(paths, rate_expect=rate_expect)
-        dev = _corpus_to_device([host[0]])[0]
+        dev = _corpus_to_device([host[0]], lens=[host[1]])[0]
         while len(_PREFETCH) >= _PREFETCH_CAP:
             _PREFETCH.pop(next(iter(_PREFETCH)))
         _PREFETCH[key] = (host, dev)
@@ -544,6 +632,13 @@ def prepare_voice(
 
 
 def run_measure_device(prep: PreparedVoice, pp: PitchParams):
+    """Single-voice dispatch: TWO programs (nat-side pitch+LUFS, then
+    raw-side LUFS) instead of one. The raw corpus upload usually starts
+    only moments before measure (raw synthesis is the preceding step), so
+    the nat program — whose corpus was prefetched steps earlier — executes
+    while the raw bytes are still streaming; the raw program queues behind
+    it and finds its input resident. Per-row numerics are those of
+    _measure_device's separate-LUFS branch (same traced parts)."""
     from ..core.profiling import phase
 
     S = prep.nat.shape[0]
@@ -552,15 +647,17 @@ def run_measure_device(prep: PreparedVoice, pp: PitchParams):
             [prep.nat, prep.nat_len, prep.raw_for_device, prep.raw_len_dev,
              prep.win_nat, prep.win_raw_dev, prep.mask],
             pre=[prep.nat_dev, None, prep.raw_dev, None, None, None, None],
+            lens=[prep.nat_len, None, prep.raw_len_dev, None, None, None, None],
         )
     with phase("measure/device/launch"):
-        out = _measure_device(
-            *dev,
-            rate=float(prep.rate),
-            T=int(prep.nat.shape[1]),
-            T2=int(prep.raw_for_device.shape[1]),
-            pp=pp,
+        nat, nat_len, raw, raw_len, win_nat, win_raw, mask = dev
+        p_syn, p_seg, l_nat_syn, l_nat_seg = _measure_nat_device(
+            nat, nat_len, win_nat, mask, rate=float(prep.rate), T=int(prep.nat.shape[1]), pp=pp
         )
+        l_raw_syn, l_raw_seg = _measure_raw_device(
+            raw, raw_len, win_raw, rate=float(prep.rate), T2=int(prep.raw_for_device.shape[1])
+        )
+        out = (p_syn, p_seg, l_nat_syn, l_nat_seg, l_raw_syn, l_raw_seg)
     with phase("measure/device/drain"):
         return tuple(np.asarray(o)[:S] for o in out)
 
@@ -762,6 +859,7 @@ def _voice_dev_args(prep: PreparedVoice):
         [prep.nat, prep.nat_len, prep.raw_for_device, prep.raw_len_dev,
          prep.win_nat, prep.win_raw_dev, prep.mask],
         pre=[prep.nat_dev, None, prep.raw_dev, None, None, None, None],
+        lens=[prep.nat_len, None, prep.raw_len_dev, None, None, None, None],
     )
 
 

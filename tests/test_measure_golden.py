@@ -197,3 +197,31 @@ class TestRoundTripQuality:
         out_a, out_b = half_f0(tmp_path / "Out" / "results" / name / "OUT.wav")
         assert nat_a > nat_b  # the natural contour falls
         assert out_a > out_b, (out_a, out_b)  # and OUT follows it
+
+
+class TestCompactTransfer:
+    """prosody.measure._audio_to_device — the compact h2d path must be
+    bit-identical to a plain padded device_put (rows re-expanded on device
+    from the packed stream)."""
+
+    def test_bit_parity_and_fallbacks(self):
+        from prosody_control_french_tts_tpu.prosody.measure import _audio_to_device
+
+        rng = np.random.default_rng(0)
+        for dtype in (np.int16, np.float32):
+            S, T = 7, 40000
+            lens = rng.integers(0, T, S)
+            lens[0] = T  # a full row
+            lens[1] = 0  # an empty row (missing raw file)
+            a = np.zeros((S, T), dtype)
+            for i in range(S):
+                a[i, : lens[i]] = (rng.standard_normal(lens[i]) * 1000).astype(dtype)
+            out = np.asarray(_audio_to_device(a, lens))
+            assert out.dtype == a.dtype and out.shape == a.shape
+            assert (out == a).all()
+            # low padding → the plain device_put path, same contents
+            out2 = np.asarray(_audio_to_device(a, np.full(S, T)))
+            assert (out2 == a).all()
+        # malformed lens (out of range) must fall back, not corrupt
+        bad = np.asarray(_audio_to_device(a, np.full(S, T + 1)))
+        assert (bad == a).all()
