@@ -356,6 +356,15 @@ _PREFETCH: dict = {}
 _PREFETCH_CAP = 16
 
 
+def _host_cpu_device():
+    """The local CPU jax device (for launch-overhead-dominated tiny ops);
+    falls back to the default device if no CPU backend is registered."""
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return jax.devices()[0]
+
+
 def _corpus_key(paths, rate_expect):
     items = []
     for p in paths:
@@ -728,35 +737,44 @@ def postprocess_voice(prep: PreparedVoice, outputs, settings: ProsodySettings) -
     d_nat = np.maximum(nat_total - pause_s, 1e-4)
     d_syn = np.maximum(syn_total - pause_s, 1e-4)
 
-    p_pct = np.asarray(
-        pitch_adjust_pct(
-            jnp.asarray(p_syn[idx_i, idx_j], jnp.float32),
-            jnp.asarray(baselines["f0"][idx_i], jnp.float32),
-            settings.pitch_semitones,
-            settings.pitch_lower_clip_factor,
-        )
-    )
-    v_pct = np.asarray(
-        volume_adjust_pct(
-            jnp.asarray(baselines["loud"][idx_i], jnp.float32),
-            jnp.asarray(l_raw_syn[idx_i, idx_j], jnp.float32),
-            settings.volume_pct,
-        )
-    )
-    r_pct = np.asarray(
-        rate_adjust_pct(
-            jnp.asarray(wc_syn, jnp.float32),
-            jnp.asarray(d_nat, jnp.float32),
-            jnp.asarray(d_syn, jnp.float32),
-            settings,
-        )
-    )
-
-    # --- smoothing across the whole voice (Code/audioPipeline.py:592-602)
+    # These adjustment/smoothing ops are tiny (hundreds of scalars) — on a
+    # remote accelerator each would cost a ~30 ms launch, several times the
+    # whole host step. Pin them to the local CPU backend; tests (CPU-forced)
+    # already validate exactly these numerics.
     from .adjust import smooth_series
 
-    sm_p = np.asarray(smooth_series(p_pct, settings.smoothing_alpha, settings.max_jump_percent))
-    sm_r = np.asarray(smooth_series(r_pct, settings.smoothing_alpha, settings.max_jump_percent))
+    with jax.default_device(_host_cpu_device()):
+        p_pct = np.asarray(
+            pitch_adjust_pct(
+                jnp.asarray(p_syn[idx_i, idx_j], jnp.float32),
+                jnp.asarray(baselines["f0"][idx_i], jnp.float32),
+                settings.pitch_semitones,
+                settings.pitch_lower_clip_factor,
+            )
+        )
+        v_pct = np.asarray(
+            volume_adjust_pct(
+                jnp.asarray(baselines["loud"][idx_i], jnp.float32),
+                jnp.asarray(l_raw_syn[idx_i, idx_j], jnp.float32),
+                settings.volume_pct,
+            )
+        )
+        r_pct = np.asarray(
+            rate_adjust_pct(
+                jnp.asarray(wc_syn, jnp.float32),
+                jnp.asarray(d_nat, jnp.float32),
+                jnp.asarray(d_syn, jnp.float32),
+                settings,
+            )
+        )
+
+        # --- smoothing across the whole voice (Code/audioPipeline.py:592-602)
+        sm_p = np.asarray(
+            smooth_series(p_pct, settings.smoothing_alpha, settings.max_jump_percent)
+        )
+        sm_r = np.asarray(
+            smooth_series(r_pct, settings.smoothing_alpha, settings.max_jump_percent)
+        )
 
     rows = [
         MeasureRow(
