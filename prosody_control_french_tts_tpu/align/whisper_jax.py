@@ -318,7 +318,18 @@ def make_greedy_fn(model: WhisperModel, max_new: int):
             return step + 1, tokens, caches, att, done
 
         state = (0, tokens, caches, att, jnp.zeros((B,), bool))
-        _, tokens, _, att, _ = jax.lax.while_loop(cond, body, state)
+        _, tokens, caches, att, _ = jax.lax.while_loop(cond, body, state)
+        # One extra decode step for the query at position max_new: rows that
+        # hit the cap without emitting eot have all max_new generated tokens
+        # as text, and the last one's attention row (row max_new) is never
+        # written by the loop — its DTW input would be all-zero. Rows that
+        # finished early never read this row (their n < max_new), so the
+        # garbage-cache case is harmless.
+        ids = jax.lax.dynamic_slice(tokens, (0, max_new), (B, 1))
+        _, _, row = model.apply(
+            params, ids, max_new, caches, cross_kvs, method=WhisperModel.decode_step
+        )
+        att = jax.lax.dynamic_update_slice(att, row.astype(jnp.float32), (0, max_new, 0))
         return tokens, att
 
     return run
@@ -358,11 +369,22 @@ def spans_from_attention(w: np.ndarray, frame_dt: float = FRAME_DT) -> np.ndarra
     w = w / np.maximum(w.sum(axis=-1, keepdims=True), 1e-9)
     n_tok, n_fr = w.shape
     pad_l = ((n_tok + 15) // 16) * 16
-    cost = np.zeros((pad_l, n_fr), np.float32)
-    cost[:n_tok] = -w  # maximise attention ≡ minimise cost
+    pad_f = _frame_bucket(n_fr)
+    cost = np.zeros((pad_l, pad_f), np.float32)
+    cost[:n_tok, :n_fr] = -w  # maximise attention ≡ minimise cost
     D = np.asarray(monotonic_partition_costs(jnp.asarray(cost)))
     spans = monotonic_partition_backtrack(D[: n_tok + 1, : n_fr + 1])
     return spans * frame_dt
+
+
+def _frame_bucket(n_fr: int, step: int = 256) -> int:
+    """Frame-axis pad bucket for the partition DP: D's column prefix is
+    exact (zeros in pad columns never reach real columns), so padding to a
+    coarse grid is free numerically and collapses the per-corpus frame
+    widths onto a handful of compiled programs — without it every distinct
+    (batch, max-frame) pair costs a fresh XLA compile (minutes on this
+    host)."""
+    return max(step, ((n_fr + step - 1) // step) * step)
 
 
 def spans_from_attention_batch(
@@ -377,9 +399,14 @@ def spans_from_attention_batch(
     if not ws:
         return []
     ws = [np.asarray(w, np.float32) for w in ws]
+    # every axis pads to a coarse bucket (tokens: 16s, frames: 256s,
+    # batch: pow2) so per-corpus shape variation reuses a handful of
+    # compiled DP programs — both DP prefixes and zero-cost pad rows are
+    # exact, so the padding never changes any real item's spans
     pad_l = max(((w.shape[0] + 15) // 16) * 16 for w in ws)
-    n_fr = max(w.shape[1] for w in ws)
-    cost = np.zeros((len(ws), pad_l, n_fr), np.float32)
+    pad_f = _frame_bucket(max(w.shape[1] for w in ws))
+    pad_b = 1 << max(len(ws) - 1, 1).bit_length()
+    cost = np.zeros((pad_b, pad_l, pad_f), np.float32)
     for i, w in enumerate(ws):
         w = w / np.maximum(w.sum(axis=-1, keepdims=True), 1e-9)
         cost[i, : w.shape[0], : w.shape[1]] = -w
@@ -642,6 +669,10 @@ class WhisperAligner:
         transcript) are one decode launch each. Semantics per clip are
         identical to ``align``."""
         transcripts = list(transcripts) if transcripts is not None else [None] * len(audios)
+        if len(transcripts) != len(audios):
+            raise ValueError(
+                f"align_batch: {len(audios)} audios but {len(transcripts)} transcripts"
+            )
         plans: list[dict] = []
         jobs: list[dict] = []
         for idx, (audio, transcript) in enumerate(zip(audios, transcripts)):
@@ -792,17 +823,15 @@ class WhisperAligner:
         att = np.asarray(att)[:B]
         token_lists, att_rows = [], []
         for i in range(B):
-            toks = tokens[i]
-            eots = np.nonzero(toks[1:] == self.tokenizer.sep_id)[0]
-            n = int(eots[0]) if eots.size else max_new
-            token_lists.append([int(t) for t in toks[1 : n + 1]])
+            ids, rows = self._parse_greedy_output(tokens[i], att[i], max_new)
+            token_lists.append(ids)
             # slice to the clip's REAL frames (see _teacher_forced_words) —
             # the batched DP is exact in both prefixes, so per-row widths mix
             fr = min(
                 att.shape[-1],
                 max(1, int(np.ceil(free[i]["audio"].duration_seconds / FRAME_DT))),
             )
-            att_rows.append(att[i, 1 : n + 1, :fr])
+            att_rows.append(rows[:, :fr])
         nonempty = [i for i in range(B) if token_lists[i]]
         spans_all = spans_from_attention_batch([att_rows[i] for i in nonempty])
         spans_by_job = dict(zip(nonempty, spans_all))
@@ -876,6 +905,17 @@ class WhisperAligner:
         self._run_forced_jobs([job])
         return job["words"]
 
+    def _parse_greedy_output(
+        self, toks: np.ndarray, att: np.ndarray, max_new: int
+    ) -> tuple[list[int], np.ndarray]:
+        """One clip's make_greedy_fn output row → (text token ids, their
+        cross-attention rows [n, F]). Shared by the single-clip and batched
+        paths so the eot-scan/att-slicing semantics cannot drift."""
+        toks = np.asarray(toks)
+        eots = np.nonzero(toks[1:] == self.tokenizer.sep_id)[0]
+        n = int(eots[0]) if eots.size else max_new
+        return [int(t) for t in toks[1 : n + 1]], np.asarray(att[1 : n + 1])
+
     def _greedy_tokens(self, audio: Audio, max_tokens: int = 128) -> tuple[list[int], np.ndarray]:
         """One device launch: greedy KV-cache transcription (make_greedy_fn)
         → (text token ids, their cross-attention rows [n, F])."""
@@ -890,10 +930,7 @@ class WhisperAligner:
         tokens, att = fn(
             self.params, mel[None], self.tokenizer.cls_id, self.tokenizer.sep_id
         )
-        toks = np.asarray(tokens[0])
-        eots = np.nonzero(toks[1:] == self.tokenizer.sep_id)[0]
-        n = int(eots[0]) if eots.size else max_new
-        return list(int(t) for t in toks[1 : n + 1]), np.asarray(att[0, 1 : n + 1])
+        return self._parse_greedy_output(np.asarray(tokens[0]), np.asarray(att[0]), max_new)
 
     def transcribe(self, audio: Audio, max_tokens: int = 128) -> str:
         token_ids, _ = self._greedy_tokens(audio, max_tokens)

@@ -196,18 +196,20 @@ def synth_music(duration_s: float, rate: int = 16000, seed: int = 0) -> np.ndarr
 def _pink_noise(n: int, rng: np.random.Generator) -> np.ndarray:
     """1/f-shaped broadband noise (spectral slope of real room/program
     beds), via rfft shaping."""
-    w = rng.standard_normal(n)
+    # float32 throughout: f64 elementwise host math is ~150× slower on this
+    # vCPU (CLAUDE.md), and the recipe builds hundreds of beds
+    w = rng.standard_normal(n).astype(np.float32)
     spec = np.fft.rfft(w)
-    f = np.arange(spec.size, dtype=np.float64)
-    spec = spec / np.sqrt(np.maximum(f, 1.0))
-    out = np.fft.irfft(spec, n)
+    f = np.arange(spec.size, dtype=np.float32)
+    spec = (spec / np.sqrt(np.maximum(f, 1.0))).astype(np.complex64)
+    out = np.fft.irfft(spec, n).astype(np.float32)
     return (out / (np.std(out) + 1e-9)).astype(np.float32)
 
 
 def _comb_reverb(x: np.ndarray, rate: int, rng: np.random.Generator) -> np.ndarray:
     """Cheap Schroeder-style reverb: a few feedback combs + damping —
     enough to smear transients the way real rooms do."""
-    out = np.array(x, np.float64)
+    out = np.array(x, np.float32)  # f32 accumulator suffices for a ~4 s bed
     for delay_ms, gain in ((31.0, 0.45), (43.0, 0.35), (59.0, 0.25)):
         d = int((delay_ms + rng.uniform(-3, 3)) * rate / 1000.0)
         # IIR comb y[n] = x[n] + g·y[n−d], block-propagated d samples a time
@@ -309,17 +311,32 @@ def _mix_at_snr(speech: np.ndarray, bed: np.ndarray, snr_db: float) -> np.ndarra
     return (speech + g * bed[: speech.size]).astype(np.float32)
 
 
-def _make_pairs(n: int, seed: int, rate: int = 16000, realistic: bool = True):
+def _make_pairs(
+    n: int,
+    seed: int,
+    rate: int = 16000,
+    realistic: bool = True,
+    real_segments: tuple[int, ...] | None = None,
+):
     """(mixture, clean-vocals) pairs. ``realistic`` (the packaged recipe)
     draws bed kinds from BED_KINDS, SNRs from −5..15 dB, and replaces half
     of the synthetic vocals with REAL narration windows — plain
     synth_music chords at 0..12 dB otherwise (the round-2 recipe, kept for
-    the regression tests)."""
+    the regression tests). ``real_segments`` selects which corpus segments
+    supply the real vocals (training default; pass (10, 11) for held-out
+    evaluation pairs so eval vocals never overlap training content)."""
     from ..align.synth_speech import SynthSpec, sample_sentences, synth_sentence
 
     spec = SynthSpec(sample_rate=rate)
     rng = np.random.default_rng(seed)
-    real = real_speech_windows(rate) if realistic else []
+    if realistic:
+        real = (
+            real_speech_windows(rate, segments=real_segments)
+            if real_segments is not None
+            else real_speech_windows(rate)
+        )
+    else:
+        real = []
     pairs = []
     for i, sent in enumerate(sample_sentences(n, seed=seed, min_words=4, max_words=8)):
         if realistic and real and i % 2 == 1:
@@ -459,9 +476,12 @@ def pretrain_masknet(
         log.info("epoch %d: loss %.5f (%.0fs)", epoch, float(np.mean(ep)), time.time() - t0)
     sep.params = jax.tree.map(np.asarray, params)
 
-    # held-out SI-SNR improvement through the full separate() path
+    # held-out SI-SNR improvement through the full separate() path — the
+    # real vocal halves come from segments 10/11 (never in training), so a
+    # checkpoint that memorised the training narration cannot pass on
+    # familiar vocal content under unfamiliar beds
     gains = []
-    for mix_x, clean_x in _make_pairs(12, seed + 555, realistic=realistic):
+    for mix_x, clean_x in _make_pairs(12, seed + 555, realistic=realistic, real_segments=(10, 11)):
         est = np.asarray(sep.separate(Audio(mix_x, 16000)).samples, np.float32)
         n = min(est.size, clean_x.size)
         gains.append(si_snr_db(est[:n], clean_x[:n]) - si_snr_db(mix_x[:n], clean_x[:n]))
@@ -472,7 +492,13 @@ def pretrain_masknet(
     if realistic:
         real_gain = real_mixture_eval(sep, seed=seed)
         log.info("held-out REAL-speech mixture SI-SNR improvement: %.2f dB", real_gain)
-        if np.isfinite(real_gain) and real_gain < target_real_gain_db:
+        if not np.isfinite(real_gain):
+            log.warning(
+                "real-mixture SI-SNR gate DID NOT RUN (no segment_ph10/11 under "
+                "%s) — the checkpoint is gated on synthetic mixtures only",
+                REAL_CORPUS,
+            )
+        elif real_gain < target_real_gain_db:
             raise RuntimeError(
                 f"real-mixture SI-SNR gain {real_gain:.2f} dB < {target_real_gain_db} dB gate"
             )

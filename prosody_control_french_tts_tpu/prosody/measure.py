@@ -266,11 +266,25 @@ def _corpus_to_device(args7, pre=None, lens=None):
     from ..parallel.mesh import production_data_mesh
 
     mesh = production_data_mesh()
+
+    def pre_ok(i, a, rows):
+        """A prefetched buffer is reused only if its shape still matches
+        what this call would produce — the mesh/device config can change
+        between prefetch and consume (PCFT_DATA_MESH, test harnesses), and
+        a stale row count would shape-error inside the measure jit."""
+        if pre is None or pre[i] is None:
+            return False
+        exp = (rows,) + tuple(np.shape(a)[1:])
+        if tuple(pre[i].shape) == exp:
+            return True
+        log.debug("prefetched corpus shape %s != expected %s; reloading", pre[i].shape, exp)
+        return False
+
     if mesh is None:
         return [
             (
                 pre[i]
-                if pre is not None and pre[i] is not None
+                if pre_ok(i, a, np.shape(a)[0] if np.ndim(a) else 0)
                 else (
                     _audio_to_device(np.asarray(a), lens[i])
                     if lens is not None and lens[i] is not None and isinstance(a, np.ndarray)
@@ -285,12 +299,12 @@ def _corpus_to_device(args7, pre=None, lens=None):
     sh = NamedSharding(mesh, P("data"))
     out = []
     for i, a in enumerate(args7):
-        if pre is not None and pre[i] is not None:
+        S = int(np.shape(a)[0]) if np.ndim(a) else 0
+        Sp = ((S + nd - 1) // nd) * nd
+        if pre_ok(i, a, Sp):
             out.append(pre[i])
             continue
         a = np.asarray(a)
-        S = a.shape[0]
-        Sp = ((S + nd - 1) // nd) * nd
         if Sp != S:
             a = np.pad(a, [(0, Sp - S)] + [(0, 0)] * (a.ndim - 1))
         out.append(jax.device_put(a, sh))
@@ -358,10 +372,17 @@ _PREFETCH_CAP = 16
 
 def _host_cpu_device():
     """The local CPU jax device (for launch-overhead-dominated tiny ops);
-    falls back to the default device if no CPU backend is registered."""
+    falls back to the default device if no CPU backend is registered —
+    loudly, because the fallback silently re-introduces the ~30 ms/launch
+    remote-dispatch cost this pin exists to remove (set
+    JAX_PLATFORMS=<accel>,cpu to restore it)."""
     try:
         return jax.local_devices(backend="cpu")[0]
     except RuntimeError:
+        log.warning(
+            "no CPU jax backend registered; tiny adjustment ops will run on "
+            "the default device (remote launch overhead applies)"
+        )
         return jax.devices()[0]
 
 

@@ -141,3 +141,95 @@ class TestDataMeshEnvGuard:
                 os.environ.pop("PCFT_DATA_MESH", None)
             else:
                 os.environ["PCFT_DATA_MESH"] = old
+
+
+class TestGreedyCapAttentionRow:
+    """Round-3 external-review finding: when greedy decode hits the
+    max_new cap without emitting eot, the final token's cross-attention
+    row (row max_new) was never written by the while_loop — the last
+    word's DTW input was all-zero."""
+
+    def test_final_att_row_written_at_cap(self):
+        import jax
+
+        from prosody_control_french_tts_tpu.align.whisper_jax import (
+            WhisperConfig,
+            WhisperModel,
+            make_greedy_fn,
+        )
+
+        cfg = WhisperConfig.test()
+        model = WhisperModel(cfg)
+        mel = np.random.default_rng(0).standard_normal((1, 40, cfg.n_mels)).astype(np.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp_mel := np.asarray(mel), np.zeros((1, 2), np.int32)
+        )
+        max_new = 4
+        fn = make_greedy_fn(model, max_new)
+        # eot_id = -1 never matches any argmax token → decode runs to the cap
+        tokens, att = fn(params, jnp_mel, 0, -1)
+        att = np.asarray(att)
+        assert att.shape[1] == max_new + 1
+        # every row 1..max_new (the text tokens' DTW inputs) must be written
+        for r in range(1, max_new + 1):
+            assert np.abs(att[0, r]).sum() > 0, f"attention row {r} is all-zero"
+
+
+class TestBatchedDTWBucketing:
+    """Frame/batch bucketing in spans_from_attention_batch must be exact:
+    padded columns/rows never change a real item's spans (the DP's
+    documented prefix property)."""
+
+    def test_batch_matches_solo_on_ragged_widths(self):
+        from prosody_control_french_tts_tpu.align.whisper_jax import (
+            spans_from_attention,
+            spans_from_attention_batch,
+        )
+
+        rng = np.random.default_rng(7)
+        ws = [
+            np.abs(rng.standard_normal((3, 37))).astype(np.float32),
+            np.abs(rng.standard_normal((17, 211))).astype(np.float32),
+            np.abs(rng.standard_normal((1, 300))).astype(np.float32),
+        ]
+        batched = spans_from_attention_batch(ws)
+        for w, got in zip(ws, batched):
+            np.testing.assert_allclose(got, spans_from_attention(w), atol=1e-6)
+
+
+class TestAlignBatchLengthGuard:
+    def test_transcripts_length_mismatch_raises(self):
+        from prosody_control_french_tts_tpu.align.whisper_jax import WhisperAligner
+        from prosody_control_french_tts_tpu.utils.wavio import Audio
+
+        al = WhisperAligner.__new__(WhisperAligner)  # no weights needed: guard fires first
+        clips = [Audio(np.zeros(1600, np.float32), 16000)] * 2
+        with pytest.raises(ValueError, match="transcripts"):
+            al.align_batch(clips, [None])
+
+
+class TestPrefetchShapeValidation:
+    """A prefetched device buffer whose row count no longer matches the
+    host corpus (mesh config changed between prefetch and consume) must be
+    dropped, not used verbatim."""
+
+    def test_stale_pre_is_reloaded(self):
+        import jax.numpy as jnp
+
+        from prosody_control_french_tts_tpu.prosody.measure import _corpus_to_device
+
+        host = np.ones((5, 16), np.float32)
+        stale = jnp.zeros((3, 16), jnp.float32)  # wrong row count
+        out = _corpus_to_device([host], pre=[stale])[0]
+        assert out.shape == (5, 16)
+        np.testing.assert_array_equal(np.asarray(out), host)
+
+    def test_matching_pre_is_reused(self):
+        import jax.numpy as jnp
+
+        from prosody_control_french_tts_tpu.prosody.measure import _corpus_to_device
+
+        host = np.ones((4, 8), np.float32)
+        pre = jnp.full((4, 8), 7.0)
+        out = _corpus_to_device([host], pre=[pre])[0]
+        np.testing.assert_array_equal(np.asarray(out), np.full((4, 8), 7.0))
