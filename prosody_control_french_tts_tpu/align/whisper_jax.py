@@ -335,6 +335,48 @@ def make_greedy_fn(model: WhisperModel, max_new: int):
     return run
 
 
+def _attention_spans_device(att, n, fr, max_rows: int):
+    """Traced: cross-attention rows → DTW spans, all on device.
+
+    att [B, R, F] (row 1+t is text token t's attention), n [B] real token
+    counts, fr [B] real encoder frames. Matches the host path exactly
+    (per-token normalisation over real frames, then the monotonic-partition
+    DP with the same tie rule), but neither the attention tensor nor the DP
+    matrix ever leaves the device — only [B, max_rows, 2] span indices do.
+    """
+    from ..ops.dtw import monotonic_partition_spans_batched
+
+    F = att.shape[-1]
+    w = att[:, 1 : 1 + max_rows, :]  # [B, max_rows, F]
+    fmask = jnp.arange(F)[None, None, :] < fr[:, None, None]
+    rmask = jnp.arange(max_rows)[None, :, None] < n[:, None, None]
+    wm = w * fmask
+    wn = wm / jnp.maximum(wm.sum(axis=-1, keepdims=True), 1e-9)
+    cost = -(wn * rmask)
+    return monotonic_partition_spans_batched(cost, n, fr)
+
+
+def make_greedy_spans_fn(model: WhisperModel, max_new: int):
+    """The production alignment launch: greedy decode (make_greedy_fn) +
+    eot scan + cross-attention DTW + device backtrack fused into ONE
+    jitted program. fn(params, mel, sot, eot, fr [B] int32) →
+    (tokens [B, max_new+1], n [B] token counts, spans [B, max_new, 2]
+    frame indices). The per-corpus readback is a few KB of tokens/spans
+    instead of the [B, max_new+1, F] float32 attention tensor plus the
+    [B, L+1, F+1] DP matrix (MBs over the ~40 MB/s tunnel)."""
+    greedy = make_greedy_fn(model, max_new)
+
+    @jax.jit
+    def run(params, mel, sot_id, eot_id, fr):
+        tokens, att = greedy(params, mel, sot_id, eot_id)
+        is_eot = tokens[:, 1:] == eot_id  # [B, max_new]
+        n = jnp.where(is_eot.any(axis=1), jnp.argmax(is_eot, axis=1), max_new).astype(jnp.int32)
+        spans = _attention_spans_device(att, n, fr.astype(jnp.int32), max_new)
+        return tokens, n, spans
+
+    return run
+
+
 # ---------------------------------------------------------------------------
 # cross-attention DTW timestamps (whisper-timestamped technique)
 # ---------------------------------------------------------------------------
@@ -801,10 +843,11 @@ class WhisperAligner:
     # -- execution (device) ------------------------------------------------
 
     def _run_free_jobs(self, free: list[dict], max_tokens: int = 128) -> None:
-        """Transcript-free jobs: ONE greedy decode launch over the stacked
+        """Transcript-free jobs: ONE fused device launch over the stacked
         mel batch (padded to a power-of-two batch so distinct corpus sizes
-        reuse a handful of compiled programs), then ONE batched DTW over
-        every job's cross-attention rows. Fills job["words"] in place."""
+        reuse a handful of compiled programs) doing greedy decode +
+        cross-attention DTW + backtrack (make_greedy_spans_fn); only
+        KB-sized tokens/spans come back. Fills job["words"] in place."""
         max_new = min(max_tokens, self.cfg.n_text_ctx - 1)
         xs = np.stack([self._audio_window(j["audio"]) for j in free])
         B = xs.shape[0]
@@ -812,35 +855,29 @@ class WhisperAligner:
         if Bp != B:
             xs = np.pad(xs, ((0, Bp - B), (0, 0)))
         mels = self._mel_batch(xs)  # one launch; stays on device
-        fn = self._greedy_cache.get(max_new)
+        fn = self._greedy_cache.get(("spans", max_new))
         if fn is None:
-            fn = make_greedy_fn(self.model, max_new)
-            self._greedy_cache[max_new] = fn
-        tokens, att = fn(
-            self.params, mels, self.tokenizer.cls_id, self.tokenizer.sep_id
+            fn = make_greedy_spans_fn(self.model, max_new)
+            self._greedy_cache[("spans", max_new)] = fn
+        # REAL encoder frames per clip (see _teacher_forced_words): the DP
+        # is restricted to them on device; pad rows get 1
+        fr = np.ones(Bp, np.int32)
+        for i, j in enumerate(free):
+            fr[i] = max(1, int(np.ceil(j["audio"].duration_seconds / FRAME_DT)))
+        fr = np.minimum(fr, self.cfg.n_audio_ctx)
+        tokens, n, spans = fn(
+            self.params, mels, self.tokenizer.cls_id, self.tokenizer.sep_id, jnp.asarray(fr)
         )
         tokens = np.asarray(tokens)[:B]
-        att = np.asarray(att)[:B]
-        token_lists, att_rows = [], []
-        for i in range(B):
-            ids, rows = self._parse_greedy_output(tokens[i], att[i], max_new)
-            token_lists.append(ids)
-            # slice to the clip's REAL frames (see _teacher_forced_words) —
-            # the batched DP is exact in both prefixes, so per-row widths mix
-            fr = min(
-                att.shape[-1],
-                max(1, int(np.ceil(free[i]["audio"].duration_seconds / FRAME_DT))),
-            )
-            att_rows.append(rows[:, :fr])
-        nonempty = [i for i in range(B) if token_lists[i]]
-        spans_all = spans_from_attention_batch([att_rows[i] for i in nonempty])
-        spans_by_job = dict(zip(nonempty, spans_all))
+        n = np.asarray(n)[:B]
+        spans = np.asarray(spans)[:B]
         for i, j in enumerate(free):
-            if i not in spans_by_job:
+            ni = int(n[i])
+            if ni == 0:
                 j["words"] = []
                 continue
-            pieces = self.tokenizer.pieces_with_boundaries(token_lists[i])
-            j["words"] = group_word_times(pieces, spans_by_job[i])
+            pieces = self.tokenizer.pieces_with_boundaries([int(t) for t in tokens[i, 1 : ni + 1]])
+            j["words"] = group_word_times(pieces, spans[i, :ni] * FRAME_DT)
 
     def _run_forced_jobs(self, forced: list[dict]) -> None:
         """Teacher-forced jobs (known transcripts): ONE batched
@@ -864,40 +901,42 @@ class WhisperAligner:
             xs = np.pad(xs, ((0, Bp - B), (0, 0)))
             ids = np.pad(ids, ((0, Bp - B), (0, 0)), constant_values=self.tokenizer.sep_id)
         mels = self._mel_batch(xs)
-        fn = self._forced_cache.get(None)
+        fn = self._forced_cache.get("spans")
         if fn is None:
             model = self.model
 
             @jax.jit
-            def run(params, mel, toks):
+            def run(params, mel, toks, n_tok, fr):
                 enc = model.apply(params, mel, method=WhisperModel.encode)
                 _, cross = model.apply(params, toks, enc, True, method=WhisperModel.decode)
-                # layer- and head-averaged cross attention rows [B, L, F]
-                return jnp.mean(jnp.stack([w.mean(axis=1) for w in cross]), axis=0)
+                # layer- and head-averaged cross attention rows [B, L, F],
+                # then DTW + backtrack on device — only spans come back
+                att = jnp.mean(jnp.stack([w.mean(axis=1) for w in cross]), axis=0)
+                return _attention_spans_device(att, n_tok, fr, att.shape[1] - 1)
 
             fn = run
-            self._forced_cache[None] = fn
-        att = np.asarray(fn(self.params, mels, jnp.asarray(ids)))[:B]
-        rows = []
+            self._forced_cache["spans"] = fn
+        # REAL token counts and encoder frames per clip: the DP is
+        # restricted to them on device (attention mass in the mel pad would
+        # otherwise place words past the audio end — they then clamp to
+        # zero-width spans and vanish from the TextGrid)
+        n_tok = np.zeros(Bp, np.int32)
+        fr = np.ones(Bp, np.int32)
         for i, j in enumerate(forced):
-            n_tok = min(len(j["_token_ids"]), Lb - 1)
-            # restrict the DTW to the clip's REAL frames: attention mass in
-            # the mel pad would place words past the audio end (they then
-            # clamp to zero-width spans and vanish from the TextGrid)
-            fr = min(
-                att.shape[-1],
-                max(1, int(np.ceil(j["audio"].duration_seconds / FRAME_DT))),
-            )
-            rows.append(att[i, 1 : 1 + n_tok, :fr])
-        spans_all = spans_from_attention_batch(rows)
-        for j, spans in zip(forced, spans_all):
+            n_tok[i] = min(len(j["_token_ids"]), Lb - 1)
+            fr[i] = max(1, int(np.ceil(j["audio"].duration_seconds / FRAME_DT)))
+        fr = np.minimum(fr, self.cfg.n_audio_ctx)
+        spans_all = np.asarray(
+            fn(self.params, mels, jnp.asarray(ids), jnp.asarray(n_tok), jnp.asarray(fr))
+        )[:B]
+        for i, j in enumerate(forced):
             # per-token surface strings with a leading space marking word
             # starts (NOT decode([t]): that strips the WordPiece "##" marker
             # and would split multi-piece words); both tokenizer families
             # implement this
-            n_tok = spans.shape[0]
-            pieces = self.tokenizer.pieces_with_boundaries(j["_token_ids"][:n_tok])
-            j["words"] = group_word_times(pieces, spans)
+            nt = int(n_tok[i])
+            pieces = self.tokenizer.pieces_with_boundaries(j["_token_ids"][:nt])
+            j["words"] = group_word_times(pieces, spans_all[i, :nt] * FRAME_DT)
 
     def _teacher_forced_words(self, audio: Audio, transcript: str) -> list[AlignedWord]:
         """Single-clip convenience wrapper over the batched forced path."""

@@ -113,6 +113,48 @@ def monotonic_partition_backtrack(D: np.ndarray) -> np.ndarray:
     return spans
 
 
+@jax.jit
+def monotonic_partition_spans_batched(
+    cost: jnp.ndarray, n_tok: jnp.ndarray, n_fr: jnp.ndarray
+) -> jnp.ndarray:
+    """Fully on-device batched partition alignment: [B, L, F] local costs
+    (+ per-item REAL sizes n_tok [B], n_fr [B]) → spans [B, L, 2] float32
+    frame indices, rows ≥ n_tok[b] zero.
+
+    Equivalent to ``monotonic_partition_backtrack(D[b, :n_tok[b]+1,
+    :n_fr[b]+1])`` per item (same ``<=`` tie rule), but the backtrack runs
+    as a fixed-length device scan instead of a host loop over the pulled
+    D matrix — on remote runtimes the [B, L+1, F+1] float32 readback is
+    the dominant cost of alignment (MBs over a ~40 MB/s link for KBs of
+    actual result). Pad rows/columns beyond the real sizes never influence
+    real spans (the DP's prefix property; the walk starts at
+    (n_tok[b], n_fr[b]) and each step decrements j, so it never touches
+    j > n_fr[b])."""
+    D = jax.vmap(monotonic_partition_costs)(cost)  # [B, L+1, F+1]
+    L, F = cost.shape[1], cost.shape[2]
+
+    def one(Di, nt, nf):
+        def step(state, t):
+            i, end_j, spans = state
+            j = nf - t
+            take = (i > 0) & (j > 0) & (Di[i - 1, j - 1] <= Di[i, j - 1])
+            # scatter row i-1 when the path enters it; index L drops the write
+            row = jnp.where(take, i - 1, L)
+            spans = spans.at[row].set(
+                jnp.stack([(j - 1).astype(jnp.float32), end_j.astype(jnp.float32)]),
+                mode="drop",
+            )
+            i = i - take.astype(i.dtype)
+            end_j = jnp.where(take, j - 1, end_j)
+            return (i, end_j, spans), None
+
+        init = (nt.astype(jnp.int32), nf.astype(jnp.int32), jnp.zeros((L, 2), jnp.float32))
+        (_, _, spans), _ = jax.lax.scan(step, init, jnp.arange(F, dtype=jnp.int32))
+        return spans
+
+    return jax.vmap(one)(D, n_tok, n_fr)
+
+
 def dtw_path(a, b) -> tuple[float, list[tuple[int, int]]]:
     """(distance, path) — path as (i, j) index pairs, fastdtw-style."""
     a_j = jnp.asarray(a, jnp.float32)

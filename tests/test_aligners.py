@@ -522,3 +522,52 @@ class TestFromPretrained:
         tg = al2.align(audio, "bonjour le monde")
         marks = [iv.mark for iv in tg.tiers[0] if iv.mark.strip()]
         assert marks == ["bonjour", "le", "monde"]
+
+
+class TestDeviceSpans:
+    """The fused on-device DTW+backtrack (align_batch's production path)
+    must match the host oracle exactly: same normalisation, same DP, same
+    tie rule."""
+
+    def test_partition_spans_batched_matches_host_backtrack(self):
+        from prosody_control_french_tts_tpu.ops.dtw import (
+            monotonic_partition_backtrack,
+            monotonic_partition_costs,
+            monotonic_partition_spans_batched,
+        )
+
+        rng = np.random.default_rng(3)
+        B, L, F = 4, 24, 300
+        cost = np.zeros((B, L, F), np.float32)
+        nt = np.array([3, 24, 1, 17], np.int32)
+        nf = np.array([300, 211, 37, 256], np.int32)
+        for b in range(B):
+            cost[b, : nt[b], : nf[b]] = -np.abs(
+                rng.standard_normal((nt[b], nf[b]))
+            ).astype(np.float32)
+        dev = np.asarray(
+            monotonic_partition_spans_batched(jnp.asarray(cost), jnp.asarray(nt), jnp.asarray(nf))
+        )
+        for b in range(B):
+            D = np.asarray(monotonic_partition_costs(jnp.asarray(cost[b])))
+            host = monotonic_partition_backtrack(D[: nt[b] + 1, : nf[b] + 1])
+            np.testing.assert_allclose(dev[b, : nt[b]], host, atol=0)
+            assert (dev[b, nt[b] :] == 0).all()
+
+    def test_attention_spans_device_matches_host_oracle(self):
+        from prosody_control_french_tts_tpu.align.whisper_jax import (
+            _attention_spans_device,
+            spans_from_attention,
+        )
+
+        rng = np.random.default_rng(5)
+        B, R, F = 3, 9, 120  # R = 1 sot row + 8 token rows
+        att = np.abs(rng.standard_normal((B, R, F))).astype(np.float32)
+        n = np.array([8, 3, 1], np.int32)
+        fr = np.array([120, 77, 40], np.int32)
+        dev = np.asarray(
+            _attention_spans_device(jnp.asarray(att), jnp.asarray(n), jnp.asarray(fr), R - 1)
+        )
+        for b in range(B):
+            host = spans_from_attention(att[b, 1 : 1 + n[b], : fr[b]], frame_dt=1.0)
+            np.testing.assert_allclose(dev[b, : n[b]], host, atol=0)
