@@ -363,6 +363,56 @@ class TestKWeightFIR:
         assert e6 < e3
 
 
+class TestSplitPrecision:
+    """Backend-rounding contract of ops.precision: the COMPILED split must
+    keep a nonzero low-order residual. The astype-based split passed on CPU
+    but silently compiled to residual ≡ 0 on the real TPU (XLA folds the
+    f32→bf16→f32 round trip to identity), collapsing every split matmul to
+    one bf16 pass — these run on every backend and pin the mask-based fix."""
+
+    def test_compiled_residual_nonzero(self, rng):
+        import jax
+
+        from prosody_control_french_tts_tpu.ops.precision import _split2, _split3
+
+        a = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+        _, lo = jax.jit(_split2)(a)
+        assert float(jnp.abs(lo.astype(jnp.float32)).max()) > 0
+        _, t2, t3 = jax.jit(_split3)(a)
+        assert float(jnp.abs(t2.astype(jnp.float32)).max()) > 0
+        assert float(jnp.abs(t3.astype(jnp.float32)).max()) > 0
+
+    def test_split_reconstruction_error_bounds(self, rng):
+        from prosody_control_french_tts_tpu.ops.precision import _split2, _split3
+
+        a = rng.normal(size=(4096,)).astype(np.float32)
+        hi, lo = _split2(jnp.asarray(a))
+        r2 = np.asarray(hi.astype(jnp.float32) + lo.astype(jnp.float32))
+        assert np.max(np.abs(r2 - a) / np.maximum(np.abs(a), 1e-9)) < 2 ** -15
+        t1, t2, t3 = _split3(jnp.asarray(a))
+        r3 = np.asarray(t1.astype(jnp.float32) + t2.astype(jnp.float32) + t3.astype(jnp.float32))
+        assert np.max(np.abs(r3 - a) / np.maximum(np.abs(a), 1e-9)) < 2 ** -22
+
+    def test_mm_split3_beats_single_bf16_pass(self, rng):
+        import jax
+
+        from prosody_control_french_tts_tpu.ops.precision import mm_split3
+
+        a = rng.normal(size=(128, 512)).astype(np.float32)
+        b = rng.normal(size=(512, 128)).astype(np.float32)
+        ref = a.astype(np.float64) @ b.astype(np.float64)
+        scale = np.max(np.abs(ref))
+        one_pass = jax.lax.dot(
+            jnp.asarray(a).astype(jnp.bfloat16),
+            jnp.asarray(b).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        e1 = np.max(np.abs(np.asarray(one_pass) - ref)) / scale
+        e3 = np.max(np.abs(np.asarray(mm_split3(jnp.asarray(a), jnp.asarray(b))) - ref)) / scale
+        assert e3 < 5e-5
+        assert e3 < e1 / 10  # a silently-folded split would equal e1
+
+
 class TestSilence:
     def _mk(self, pattern, sr=22050):
         """pattern: list of (is_speech, ms)."""
@@ -402,7 +452,11 @@ class TestSTFT:
     def test_matches_numpy_oracle(self, rng):
         x = rng.normal(size=4096).astype(np.float32)
         n_fft, hop = 512, 128
-        ours = np.asarray(stft(jnp.asarray(x), n_fft, hop))
+        s = stft(jnp.asarray(x), n_fft, hop)
+        # transfer real/imag separately: complex64 readback is UNIMPLEMENTED
+        # on the remote TPU backend (production code never pulls complex —
+        # magnitudes are taken on device; see audio/separate._prep_batches)
+        ours = np.asarray(jnp.real(s)) + 1j * np.asarray(jnp.imag(s))
         xp = np.pad(x, n_fft // 2, mode="reflect")
         win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
         frames = np.stack(
