@@ -11,14 +11,17 @@ operand driving the DMA offsets (pltpu.PrefetchScalarGridSpec).
 On CPU (tests/dev) the kernel runs in interpreter mode; numerics match the
 gather path exactly (see tests/test_native_and_pallas.py).
 
-Status on real v5e hardware: Mosaic currently rejects 1-D HBM DMA slices
-whose start is not aligned to the 1024-element tiling, and
-``tpu.dynamic_rotate`` lowering for the aligned-span + dynamic-shift
-workaround is unavailable in this libtpu — so ``frames_op`` dispatches to
-the XLA gather path on TPU for now (measured: frame extraction is <10 % of
-the measure program; the FFT autocorrelation dominates). The kernel stays
-as the interpreter-validated blueprint for when Mosaic grows unaligned
-1-D DMA or dynamic lane rotates.
+Status on real v5e hardware: Mosaic rejects (a) 1-D HBM DMA slices whose
+start is unaligned to the 1024-element tiling, (b) DMA slice LENGTHS not
+tiling-aligned, and (c) size-1 slices of a tiled dimension; and
+``tpu.dynamic_rotate`` lowering is unavailable in this libtpu. The
+``extract_frames_aligned`` variant satisfies all three — 1024-aligned
+whole-row [·,128] DMAs into a 3-D scratch (leading dim untiled), residual
+shifts as bit-decomposed static lane rolls — and is **hardware-validated
+bit-exact vs the gather** and 76.7× faster at the production shape
+(29.6 ms → 0.386 ms for 4715×880 frames on v5e, vmap-compatible).
+``frames_op`` dispatches to it on TPU. The original unaligned-DMA kernel
+remains as the simpler interpreter-mode reference.
 """
 
 from __future__ import annotations
@@ -101,25 +104,31 @@ def _frames_kernel_aligned(starts_ref, x_hbm, win_ref, out_ref, scratch, sems):
     static lane rotates, each applied per-row only where that bit of the
     frame's shift is set. No unaligned DMA, no ``tpu.dynamic_rotate``.
 
-    starts_ref: [F_padded] SMEM raw frame starts; scratch: [FPB, SPAN] VMEM
-    with SPAN = padded_width + ALIGN; out_ref: [FPB, padded_width].
+    Layout constraints learned on real v5e Mosaic: DMA slice START and
+    LENGTH must both be tiling-aligned, and a size-1 slice of a TILED
+    dimension is rejected — so x arrives as [T/128, 128] rows, scratch is
+    3-D [FPB, SPAN/128, 128] (the leading dim is untiled and slices
+    freely), and the copies move whole 128-lane row blocks.
+
+    starts_ref: [F_padded] SMEM raw frame starts; out_ref: [FPB, padded_width].
     """
     blk = pl.program_id(0)
     base = blk * FRAMES_PER_BLOCK
-    span = scratch.shape[1]
+    span_rows, lanes = scratch.shape[1], scratch.shape[2]
+    span = span_rows * lanes
 
     # aligned enclosing span per frame; start all DMAs, then wait
     for i in range(FRAMES_PER_BLOCK):
         start = starts_ref[base + i]
-        aligned = (start // ALIGN) * ALIGN
+        row0 = (start // ALIGN) * (ALIGN // lanes)
         pltpu.make_async_copy(
-            x_hbm.at[pl.ds(aligned, span)], scratch.at[i], sems.at[i]
+            x_hbm.at[pl.ds(row0, span_rows)], scratch.at[i], sems.at[i]
         ).start()
     for i in range(FRAMES_PER_BLOCK):
         start = starts_ref[base + i]
-        aligned = (start // ALIGN) * ALIGN
+        row0 = (start // ALIGN) * (ALIGN // lanes)
         pltpu.make_async_copy(
-            x_hbm.at[pl.ds(aligned, span)], scratch.at[i], sems.at[i]
+            x_hbm.at[pl.ds(row0, span_rows)], scratch.at[i], sems.at[i]
         ).wait()
 
     # [FPB, SPAN] int32 map of each row's residual shift (scalar→vector via
@@ -136,7 +145,7 @@ def _frames_kernel_aligned(starts_ref, x_hbm, win_ref, out_ref, scratch, sems):
     # 1,2,4,…,ALIGN/2 lanes, each taken per-row iff that bit of s is set.
     # Rows only ever read lanes [0, padded_width) afterwards and
     # SPAN ≥ padded_width + ALIGN − 1, so wrapped lanes never surface.
-    acc = scratch[:, :]
+    acc = scratch[...].reshape(FRAMES_PER_BLOCK, span)
     bit = 1
     while bit < ALIGN:
         rolled = pltpu.roll(acc, span - bit, 1)  # left rotate by `bit`
@@ -159,11 +168,17 @@ def extract_frames_aligned(
     grid = Fp // FRAMES_PER_BLOCK
 
     wpad = ((width + 127) // 128) * 128
-    span = wpad + ALIGN
+    # Mosaic requires the DMA LENGTH tiling-aligned too (not just the
+    # start): "Slice shape along dimension 0 must be aligned to tiling"
+    span = ((wpad + ALIGN + ALIGN - 1) // ALIGN) * ALIGN
     win_p = jnp.zeros((1, wpad), jnp.float32).at[0, :width].set(window.astype(jnp.float32))
     # every DMA reads [aligned, aligned+span) with aligned ≤ start ≤ T-width:
-    # pad x so the largest read stays in bounds
-    x_p = jnp.pad(x.astype(jnp.float32), (0, span))
+    # pad x so the largest read stays in bounds, then present it as 128-lane
+    # rows (whole-row DMAs satisfy the tiled-slice rules; see kernel doc)
+    LANES = 128
+    Tp = ((x.shape[0] + span + LANES - 1) // LANES) * LANES
+    x_p = jnp.zeros((Tp,), jnp.float32).at[: x.shape[0]].set(x.astype(jnp.float32))
+    x_rows = x_p.reshape(Tp // LANES, LANES)
 
     out = pl.pallas_call(
         _frames_kernel_aligned,
@@ -178,13 +193,13 @@ def extract_frames_aligned(
                 (FRAMES_PER_BLOCK, wpad), lambda i, s: (i, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((FRAMES_PER_BLOCK, span), jnp.float32),
+                pltpu.VMEM((FRAMES_PER_BLOCK, span // LANES, LANES), jnp.float32),
                 pltpu.SemaphoreType.DMA((FRAMES_PER_BLOCK,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((Fp, wpad), jnp.float32),
         interpret=interpret,
-    )(starts_p, x_p, win_p)
+    )(starts_p, x_rows, win_p)
     return out[:F, :width]
 
 
@@ -197,9 +212,12 @@ def extract_frames_reference(x, starts, window, width):
 
 
 def frames_op(x, starts, window, width: int):
-    """Dispatch: gather everywhere until Mosaic supports unaligned 1-D DMA
-    (see module docstring); `extract_frames(..., interpret=True)` remains
-    the validated kernel path."""
+    """Dispatch: the aligned-DMA Pallas kernel on TPU (hardware-validated
+    bit-exact vs the gather, 76.7× faster at the production shape
+    [4715 frames × 880 samples]: 29.6 ms → 0.39 ms on v5e; works under
+    vmap), XLA gather elsewhere. Contract: starts ∈ [0, T − width]."""
+    if jax.devices()[0].platform == "tpu":
+        return extract_frames_aligned(x, starts, window, width)
     return extract_frames_reference(x, starts, window, width)
 
 

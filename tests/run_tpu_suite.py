@@ -38,6 +38,7 @@ DEFAULT_FILES = [
     "tests/test_aligners.py",
     "tests/test_whisper_pretrained.py",
     "tests/test_ctc_pretrained.py",
+    "tests/test_native_and_pallas.py",
 ]
 
 

@@ -148,6 +148,30 @@ class TestPallasFramesAligned:
         out = extract_frames_aligned(x, starts, win, W, interpret=True)
         assert np.array_equal(np.asarray(out), np.asarray(ref))
 
+    def test_frames_op_dispatch_matches_gather(self, rng):
+        """frames_op (the production dispatcher: compiled Pallas kernel on
+        TPU, gather elsewhere) must be bit-identical to the gather on the
+        active backend — under PCFT_TEST_TPU=1 this runs the REAL Mosaic
+        kernel on hardware, including under vmap."""
+        import jax
+
+        from prosody_control_french_tts_tpu.ops.pallas_kernels import (
+            extract_frames_reference,
+            frames_op,
+        )
+
+        T, W, F = 50000, 880, 64
+        x = rng.normal(size=(2, T)).astype(np.float32)
+        starts = rng.integers(0, T - W, size=(2, F)).astype(np.int32)
+        win = jnp.asarray((0.5 - 0.5 * np.cos(2 * np.pi * np.arange(W) / W)).astype(np.float32))
+        out = jax.vmap(lambda xx, ss: frames_op(xx, ss, win, W))(
+            jnp.asarray(x), jnp.asarray(starts)
+        )
+        ref = jax.vmap(lambda xx, ss: extract_frames_reference(xx, ss, win, W))(
+            jnp.asarray(x), jnp.asarray(starts)
+        )
+        assert np.array_equal(np.asarray(out), np.asarray(ref))
+
 
 class TestPallasCumsum:
     def test_interpret_matches_numpy(self, rng):
