@@ -21,6 +21,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import jax  # noqa: E402
+
+# Persistent compile cache (same dir bench.py uses): XLA compiles dominate
+# suite wall-clock on this 1-vCPU host — a warm cache cuts the full run by
+# minutes. Entries are keyed by HLO + platform + compiler options, so CPU
+# test programs never collide with the TPU bench entries.
+jax.config.update(
+    "jax_compilation_cache_dir", str(Path(__file__).resolve().parent.parent / ".jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
