@@ -379,6 +379,64 @@ def bench_llm_decode() -> float:
     return B * NEW / dt
 
 
+def bench_llm_train() -> dict:
+    """LoRA fine-tuning step throughput: the fused fwd+bwd+update program
+    (models/training.make_train_step) in the QLoRA shape — quantizable base
+    frozen, float adapters trained — at the decode bench's Qwen geometry.
+    The reference's dominant GPU workload is exactly this loop (HF Trainer
+    LoRA runs, QwenA.py:502-556 / QwenB.py:210-235), so the bench records
+    tokens/sec plus an MFU figure.
+
+    FLOPs model (per token, matmul params P): forward 2P + activation-grad
+    backprop 2P; weight grads only exist for the (tiny) LoRA adapters, so
+    the usual +2P wgrad term is skipped → 4P, plus the attention
+    score/value einsums fwd+bwd. MFU is that against the v5e bf16 peak."""
+    import jax.numpy as jnp
+
+    from prosody_control_french_tts_tpu.models.llm import LLMConfig
+    from prosody_control_french_tts_tpu.models.training import init_train, make_train_step
+
+    on_accel = _on_accel()
+    if on_accel:
+        cfg = LLMConfig(vocab_size=32768, dim=896, layers=12, heads=14, kv_heads=2, ffn=2432, max_len=512, lora_rank=8)
+        B, L, iters = 8, 512, 4
+    else:
+        cfg = LLMConfig(vocab_size=512, dim=64, layers=2, heads=4, kv_heads=2, ffn=128, max_len=128, lora_rank=4)
+        B, L, iters = 2, 32, 2
+    model, tx, state = init_train(cfg, lr=3e-4, accum=1)
+    step = make_train_step(model, tx, donate=False)
+    rng = np.random.default_rng(0)
+    batches = [
+        jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, L)), jnp.int32)
+        for _ in range(iters + 1)
+    ]
+    loss_mask = jnp.ones((B, L), jnp.float32)
+    params, opt_state = state.params, state.opt_state
+    params, opt_state, loss = step(params, opt_state, batches[-1], loss_mask)
+    assert np.isfinite(float(loss))  # compile + warm (read forces execution)
+    t0 = time.perf_counter()
+    for k in range(iters):
+        params, opt_state, loss = step(params, opt_state, batches[k], loss_mask)
+    final = float(loss)  # chained through params: forces every step
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final)
+    tps = B * L * iters / dt
+    out = {"llm_train_tokens_per_sec": round(tps, 1)}
+    if on_accel:
+        hd = cfg.head_dim
+        per_layer = (
+            cfg.dim * cfg.heads * hd
+            + 2 * cfg.dim * cfg.kv_heads * hd
+            + cfg.heads * hd * cfg.dim
+            + 3 * cfg.dim * cfg.ffn
+        )
+        matmul_params = cfg.layers * per_layer + cfg.dim * cfg.vocab_size
+        att = 2 * 2 * L * cfg.dim  # scores + value mix per token, fwd
+        flops_per_token = 4 * matmul_params + 2 * cfg.layers * att  # fwd+dgrad (+attn bwd)
+        out["llm_train_mfu"] = round(tps * flops_per_token / V5E_BF16_PEAK_FLOPS, 3)
+    return out
+
+
 def bench_whisper_align() -> float:
     """Out-of-the-box Whisper aligner throughput: the transcript-free
     production path (single-jit KV-cache greedy decode + cross-attention
@@ -542,6 +600,7 @@ def main():
         llm_tps = round(bench_llm_decode(), 1)
         extra["llm_decode_tokens_per_sec"] = llm_tps
         extra.update(llm_decode_roofline(llm_tps))
+        extra.update(bench_llm_train())
         extra["whisper_align_audio_hours_per_hour"] = round(bench_whisper_align(), 1)
     if os.environ.get("BENCH_7B"):
         extra.update(bench_llm_decode_7b_quant(os.environ.get("BENCH_7B_MODE", "int8")))
