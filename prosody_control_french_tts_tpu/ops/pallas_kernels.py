@@ -222,6 +222,110 @@ def frames_op(x, starts, window, width: int):
 
 
 # ---------------------------------------------------------------------------
+# pitch-candidate kernel: local maxima → top-k → parabolic, one HBM pass
+# ---------------------------------------------------------------------------
+
+CAND_ROWS = 256  # frames per block
+
+
+def _candidates_kernel(r_ref, lagf_ref, str_ref, valid_ref, *, k, min_lag, max_lag, vth):
+    """One block = CAND_ROWS frames × Lp lags, all VMEM-resident.
+
+    Replicates ops.pitch's candidate stage exactly: local maxima of r
+    (strictly above left neighbour, ≥ right neighbour, > vth/2, interior
+    lags only), the k strongest in descending order with first-index ties
+    (the masked-argmax contract), and parabolic interpolation — but in ONE
+    pass over r. The XLA formulation re-reads the [F, L] tensor from HBM
+    ~4× per top-k round (14 rounds ≈ 6 GB of traffic at the corpus shape,
+    measured 104 ms of the 240 ms measure program); here every round is a
+    VPU reduction over registers.
+
+    Neighbour access uses circular lane rolls: the wrapped lanes are always
+    outside [min_lag, max_lag) so the interior mask kills them, matching
+    the XLA path's edge-clamped shifts.
+    """
+    r = r_ref[...]
+    R, Lp = r.shape
+    lag = jax.lax.broadcasted_iota(jnp.int32, (R, Lp), 1)
+    r_m1 = pltpu.roll(r, 1, 1)  # lane i reads r[i-1]
+    r_p1 = pltpu.roll(r, Lp - 1, 1)  # lane i reads r[i+1]
+    interior = (lag >= min_lag) & (lag < max_lag)
+    is_max = (r > r_m1) & (r >= r_p1) & (r > 0.5 * vth) & interior
+    NEG = jnp.float32(-1e30)
+    score = jnp.where(is_max, r, NEG)
+    BIG = jnp.int32(1 << 30)
+
+    kp = lagf_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, kp), 1)
+    lagf_acc = jnp.zeros((R, kp), jnp.float32)
+    str_acc = jnp.zeros((R, kp), jnp.float32)
+    valid_acc = jnp.zeros((R, kp), jnp.float32)
+
+    for s in range(k):
+        v = jnp.max(score, axis=1)  # [R]
+        found = v > NEG * 0.5
+        # first index attaining the max (lax.top_k / argmax tie rule)
+        i = jnp.min(jnp.where(score == v[:, None], lag, BIG), axis=1)
+        sel = lag == i[:, None]
+        # r at i−1, i, i+1 as masked sums (exactly one lane selected)
+        rv = jnp.sum(jnp.where(sel, r, 0.0), axis=1)
+        rl = jnp.sum(jnp.where(lag == i[:, None] - 1, r, 0.0), axis=1)
+        rr_ = jnp.sum(jnp.where(lag == i[:, None] + 1, r, 0.0), axis=1)
+        dr = 0.5 * (rr_ - rl)
+        d2r = 2.0 * rv - rl - rr_
+        offset = jnp.where(jnp.abs(d2r) > 1e-12, dr / d2r, 0.0)
+        lag_f = i.astype(jnp.float32) + jnp.clip(offset, -1.0, 1.0)
+        # parabolic peak value uses the UNCLIPPED offset (ops.pitch parity)
+        strength = rv + 0.5 * dr * offset
+        this = col == s
+        lagf_acc = jnp.where(this, jnp.where(found, lag_f, 0.0)[:, None], lagf_acc)
+        str_acc = jnp.where(this, jnp.where(found, strength, 0.0)[:, None], str_acc)
+        valid_acc = jnp.where(this & found[:, None], 1.0, valid_acc)
+        score = jnp.where(sel, NEG, score)
+
+    lagf_ref[...] = lagf_acc
+    str_ref[...] = str_acc
+    valid_ref[...] = valid_acc
+
+
+@partial(jax.jit, static_argnames=("k", "min_lag", "max_lag", "vth", "interpret"))
+def topk_parabolic(
+    r: jnp.ndarray, k: int, min_lag: int, max_lag: int, vth: float, interpret: bool = False
+):
+    """r: [F, L] normalised autocorrelation → (lag_f [F, k], strength [F, k],
+    valid [F, k] bool): the k strongest parabolic-interpolated local maxima
+    per frame, descending, zeros past the row's real maxima. Matches the
+    XLA candidate stage of ops.pitch._pitch_frames element-for-element."""
+    F, L = r.shape
+    LANES = 128
+    Lp = ((L + LANES - 1) // LANES) * LANES
+    Fp = ((F + CAND_ROWS - 1) // CAND_ROWS) * CAND_ROWS
+    kp = ((k + LANES - 1) // LANES) * LANES
+    r_p = jnp.zeros((Fp, Lp), jnp.float32).at[:F, :L].set(r.astype(jnp.float32))
+
+    kern = partial(_candidates_kernel, k=k, min_lag=min_lag, max_lag=max_lag, vth=float(vth))
+    lagf, strength, valid = pl.pallas_call(
+        kern,
+        grid_spec=pl.GridSpec(
+            grid=(Fp // CAND_ROWS,),
+            in_specs=[pl.BlockSpec((CAND_ROWS, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((CAND_ROWS, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((CAND_ROWS, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((CAND_ROWS, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Fp, kp), jnp.float32),
+            jax.ShapeDtypeStruct((Fp, kp), jnp.float32),
+            jax.ShapeDtypeStruct((Fp, kp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(r_p)
+    return lagf[:F, :k], strength[:F, :k], valid[:F, :k] > 0.5
+
+
+# ---------------------------------------------------------------------------
 # chunked cumsum kernel — compiles and runs on real v5e hardware
 # ---------------------------------------------------------------------------
 

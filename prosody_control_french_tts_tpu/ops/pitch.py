@@ -380,36 +380,51 @@ def _pitch_frames(x: jnp.ndarray, sr: float, num_samples: int, p: PitchParams, l
     acw_ratio = jnp.asarray(_window_ac_ratio(W, L_out))
     r = (ac / (ac[:, :1] + 1e-30)) / acw_ratio[None, :]  # [F, L+2]
 
-    # voiced candidates: local maxima of r in (min_lag, max_lag)
+    # voiced candidates: local maxima of r in (min_lag, max_lag).
+    # On a single TPU the whole stage (local maxima → top-k → parabolic)
+    # runs as one VMEM-resident Pallas pass (ops.pallas_kernels.
+    # topk_parabolic — the XLA formulation below re-reads the [F, L]
+    # tensor from HBM every top-k round: measured 104 ms of the 240 ms
+    # measure program at the corpus shape, vs ~2 ms fused). Multi-device
+    # GSPMD programs keep the XLA path (pallas_call has no partitioning
+    # rule — same dispatch rule as viterbi_batched). Backend is read at
+    # TRACE time (same caveat as SPECTRUM_IMPL).
     L = g["max_lag"] + 2
-    lag_idx = jnp.arange(L)
-    interior = (lag_idx >= g["min_lag"]) & (lag_idx < g["max_lag"])
-    r_m1 = jnp.concatenate([r[:, :1], r[:, :-1]], axis=-1)
-    r_p1 = jnp.concatenate([r[:, 1:], r[:, -1:]], axis=-1)
-    is_max = (r > r_m1) & (r >= r_p1) & (r > 0.5 * p.voicing_threshold) & interior[None, :]
-    score = jnp.where(is_max, r, -jnp.inf)
-    top_val, top_lag = _top_k(score, K - 1)  # [F, K-1]
-    valid = jnp.isfinite(top_val)
+    if p.sinc_refine_steps == 0 and jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+        from .pallas_kernels import topk_parabolic
 
-    # parabolic interpolation around each selected lag
-    safe_lag = jnp.clip(top_lag, 1, L - 2)
-    rv = jnp.take_along_axis(r, safe_lag, axis=-1)
-    rl = jnp.take_along_axis(r, safe_lag - 1, axis=-1)
-    rr = jnp.take_along_axis(r, safe_lag + 1, axis=-1)
-    dr = 0.5 * (rr - rl)
-    d2r = 2.0 * rv - rl - rr
-    offset = jnp.where(jnp.abs(d2r) > 1e-12, dr / d2r, 0.0)
-    lag_est = safe_lag.astype(jnp.float32) + jnp.clip(offset, -1.0, 1.0)
-
-    if p.sinc_refine_steps > 0:
-        ref_lag, ref_val = jax.vmap(
-            lambda rf, lf: _sinc_refine(rf, lf, p.sinc_refine_steps, p.sinc_half_width)
-        )(r, lag_est)
-        lag_f = ref_lag
-        strength = ref_val
+        lag_f, strength, valid = topk_parabolic(
+            r, K - 1, g["min_lag"], g["max_lag"], p.voicing_threshold
+        )
     else:
-        lag_f = lag_est
-        strength = rv + 0.5 * dr * offset  # parabolic peak value
+        lag_idx = jnp.arange(L)
+        interior = (lag_idx >= g["min_lag"]) & (lag_idx < g["max_lag"])
+        r_m1 = jnp.concatenate([r[:, :1], r[:, :-1]], axis=-1)
+        r_p1 = jnp.concatenate([r[:, 1:], r[:, -1:]], axis=-1)
+        is_max = (r > r_m1) & (r >= r_p1) & (r > 0.5 * p.voicing_threshold) & interior[None, :]
+        score = jnp.where(is_max, r, -jnp.inf)
+        top_val, top_lag = _top_k(score, K - 1)  # [F, K-1]
+        valid = jnp.isfinite(top_val)
+
+        # parabolic interpolation around each selected lag
+        safe_lag = jnp.clip(top_lag, 1, L - 2)
+        rv = jnp.take_along_axis(r, safe_lag, axis=-1)
+        rl = jnp.take_along_axis(r, safe_lag - 1, axis=-1)
+        rr = jnp.take_along_axis(r, safe_lag + 1, axis=-1)
+        dr = 0.5 * (rr - rl)
+        d2r = 2.0 * rv - rl - rr
+        offset = jnp.where(jnp.abs(d2r) > 1e-12, dr / d2r, 0.0)
+        lag_est = safe_lag.astype(jnp.float32) + jnp.clip(offset, -1.0, 1.0)
+
+        if p.sinc_refine_steps > 0:
+            ref_lag, ref_val = jax.vmap(
+                lambda rf, lf: _sinc_refine(rf, lf, p.sinc_refine_steps, p.sinc_half_width)
+            )(r, lag_est)
+            lag_f = ref_lag
+            strength = ref_val
+        else:
+            lag_f = lag_est
+            strength = rv + 0.5 * dr * offset  # parabolic peak value
 
     freq = sr / jnp.maximum(lag_f, 1e-6)
     strength = jnp.where(strength > 1.0, 1.0 / jnp.maximum(strength, 1e-30), strength)

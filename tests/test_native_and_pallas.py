@@ -173,6 +173,119 @@ class TestPallasFramesAligned:
         assert np.array_equal(np.asarray(out), np.asarray(ref))
 
 
+def _xla_candidates(r, k, min_lag, max_lag, vth):
+    """The ops.pitch XLA candidate stage (local maxima → top-k →
+    parabolic), masked to zeros on invalid slots — the oracle for the
+    Pallas kernel."""
+    from prosody_control_french_tts_tpu.ops.pitch import _top_k
+
+    L = r.shape[-1]
+    lag_idx = jnp.arange(L)
+    interior = (lag_idx >= min_lag) & (lag_idx < max_lag)
+    r_m1 = jnp.concatenate([r[:, :1], r[:, :-1]], axis=-1)
+    r_p1 = jnp.concatenate([r[:, 1:], r[:, -1:]], axis=-1)
+    is_max = (r > r_m1) & (r >= r_p1) & (r > 0.5 * vth) & interior[None, :]
+    score = jnp.where(is_max, r, -jnp.inf)
+    top_val, top_lag = _top_k(score, k)
+    valid = jnp.isfinite(top_val)
+    safe_lag = jnp.clip(top_lag, 1, L - 2)
+    rv = jnp.take_along_axis(r, safe_lag, axis=-1)
+    rl = jnp.take_along_axis(r, safe_lag - 1, axis=-1)
+    rr_ = jnp.take_along_axis(r, safe_lag + 1, axis=-1)
+    dr = 0.5 * (rr_ - rl)
+    d2r = 2.0 * rv - rl - rr_
+    offset = jnp.where(jnp.abs(d2r) > 1e-12, dr / d2r, 0.0)
+    lag_f = safe_lag.astype(jnp.float32) + jnp.clip(offset, -1.0, 1.0)
+    strength = rv + 0.5 * dr * offset
+    return (
+        jnp.where(valid, lag_f, 0.0),
+        jnp.where(valid, strength, 0.0),
+        valid,
+    )
+
+
+def _candidate_fixtures(rng):
+    """Adversarial r batches: oscillatory rows (many maxima > k), flat rows
+    (no maxima), sparse rows (< k maxima), and exact value ties."""
+    F, L = 96, 297
+    t = np.arange(L, dtype=np.float32)
+    rows = []
+    for i in range(F):
+        kind = i % 4
+        if kind == 0:  # many maxima: fast oscillation
+            rows.append(0.8 * np.cos(2 * np.pi * t / (6 + i % 5)) + 0.1)
+        elif kind == 1:  # none above threshold
+            rows.append(np.full(L, 0.01, np.float32))
+        elif kind == 2:  # a few isolated peaks
+            row = np.zeros(L, np.float32)
+            for pk in (80, 140, 230):
+                row[pk] = 0.9 - 0.1 * (pk / 100.0)
+                row[pk - 1] = row[pk + 1] = 0.3
+            rows.append(row)
+        else:  # exact ties: quantized random
+            rows.append(np.round(rng.normal(size=L).astype(np.float32), 1) * 0.5)
+    return jnp.asarray(np.stack(rows).astype(np.float32))
+
+
+class TestPallasCandidates:
+    K, MIN_LAG, MAX_LAG, VTH = 14, 72, 295, 0.45
+
+    def test_interpret_matches_xla_stage(self, rng):
+        """Interpreter-mode kernel vs the XLA candidate stage on adversarial
+        rows (many/no/few maxima, exact ties): identical selections, lags,
+        strengths, and valid masks."""
+        from prosody_control_french_tts_tpu.ops.pallas_kernels import topk_parabolic
+
+        r = _candidate_fixtures(rng)
+        lag_k, str_k, val_k = topk_parabolic(
+            r, self.K, self.MIN_LAG, self.MAX_LAG, self.VTH, interpret=True
+        )
+        lag_x, str_x, val_x = _xla_candidates(r, self.K, self.MIN_LAG, self.MAX_LAG, self.VTH)
+        np.testing.assert_array_equal(np.asarray(val_k), np.asarray(val_x))
+        np.testing.assert_allclose(np.asarray(lag_k), np.asarray(lag_x), rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(str_k), np.asarray(str_x), rtol=1e-6, atol=1e-6)
+
+    def test_dispatch_matches_xla_stage(self, rng):
+        """The compiled kernel on the active backend (real Mosaic under
+        PCFT_TEST_TPU=1) vs the XLA stage — the production parity check."""
+        import os
+
+        from prosody_control_french_tts_tpu.ops.pallas_kernels import topk_parabolic
+
+        interpret = not os.environ.get("PCFT_TEST_TPU")
+        r = _candidate_fixtures(rng)
+        lag_k, str_k, val_k = topk_parabolic(
+            r, self.K, self.MIN_LAG, self.MAX_LAG, self.VTH, interpret=interpret
+        )
+        lag_x, str_x, val_x = _xla_candidates(r, self.K, self.MIN_LAG, self.MAX_LAG, self.VTH)
+        np.testing.assert_array_equal(np.asarray(val_k), np.asarray(val_x))
+        np.testing.assert_allclose(np.asarray(lag_k), np.asarray(lag_x), rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(str_k), np.asarray(str_x), rtol=1e-5, atol=1e-6)
+
+    def test_pitch_track_parity_on_speech(self, corpus_wavs):
+        """Full praat_pitch on real speech must be unchanged by the kernel
+        dispatch: under PCFT_TEST_TPU=1 the TPU track (Pallas candidates)
+        is compared against the force-XLA candidate path on the same
+        backend; on CPU this degenerates to a self-consistency check."""
+        from prosody_control_french_tts_tpu.ops.pitch import PitchParams, praat_pitch
+        from prosody_control_french_tts_tpu.utils.wavio import read_wav
+
+        a = read_wav(corpus_wavs[0]).to_mono()
+        x = np.asarray(a.samples, np.float32)[: 3 * a.rate]
+        f0_prod = np.asarray(praat_pitch(x, a.rate).f0)
+        # sinc_refine_steps>0 forces the XLA candidate branch (the kernel
+        # only serves the parabolic path); steps=0 vs steps=0-with-kernel
+        # differ only in the candidate stage implementation
+        f0_xla = np.asarray(praat_pitch(x, a.rate, PitchParams(sinc_refine_steps=1)).f0)
+        voiced = (f0_prod > 0) & (f0_xla > 0)
+        assert (f0_prod > 0).mean() > 0.1
+        # sinc refinement moves peaks ≤4e-4 relative (tests/test_ops_dsp);
+        # candidate *selection* must agree almost everywhere
+        assert ((f0_prod > 0) == (f0_xla > 0)).mean() > 0.99
+        rel = np.abs(f0_prod[voiced] - f0_xla[voiced]) / f0_xla[voiced]
+        assert np.median(rel) < 1e-3
+
+
 class TestPallasCumsum:
     def test_interpret_matches_numpy(self, rng):
         from prosody_control_french_tts_tpu.ops.pallas_kernels import CUMSUM_CHUNK, chunk_cumsum
