@@ -292,6 +292,57 @@ long audioio_load_batch_i16(
     return rate > 0 ? rate : -1;
 }
 
+// One-pass float32 → PCM16 WAV writer. Quantization matches the Python
+// fallback (utils/wavio.write_wav) bit-for-bit: round(x*32768) half-to-even
+// (lrintf under the default FE_TONEAREST mode == np.round), then clamp to
+// [-32768, 32767]; NaN maps to 0. The Python path makes ~5 full numpy
+// passes plus two whole-buffer byte copies — on a 1-vCPU host that is the
+// merge step's dominant cost; here it is one streaming pass. channels > 1
+// expects interleaved frames (numpy [N, C] row-major), like the fallback.
+// Returns 0 on success, -1 on I/O failure.
+long audioio_write_wav_f32(const char* path, const float* x, long n, int rate, int channels) {
+    FILE* f = std::fopen(path, "wb");
+    if (!f) return -1;
+    if (channels < 1) channels = 1;
+    const uint32_t data_len = static_cast<uint32_t>(n) * 2u;
+    uint8_t hdr[44];
+    auto w32 = [](uint8_t* p, uint32_t v) {
+        p[0] = v & 0xFF; p[1] = (v >> 8) & 0xFF; p[2] = (v >> 16) & 0xFF; p[3] = (v >> 24) & 0xFF;
+    };
+    auto w16 = [](uint8_t* p, uint16_t v) { p[0] = v & 0xFF; p[1] = (v >> 8) & 0xFF; };
+    std::memcpy(hdr, "RIFF", 4);
+    w32(hdr + 4, 36 + data_len);
+    std::memcpy(hdr + 8, "WAVEfmt ", 8);
+    w32(hdr + 16, 16);
+    w16(hdr + 20, 1);  // PCM
+    w16(hdr + 22, static_cast<uint16_t>(channels));
+    w32(hdr + 24, static_cast<uint32_t>(rate));
+    w32(hdr + 28, static_cast<uint32_t>(rate) * channels * 2u);
+    w16(hdr + 32, static_cast<uint16_t>(channels * 2));
+    w16(hdr + 34, 16);
+    std::memcpy(hdr + 36, "data", 4);
+    w32(hdr + 40, data_len);
+    if (std::fwrite(hdr, 1, 44, f) != 44) { std::fclose(f); return -1; }
+    std::vector<int16_t> buf(1 << 16);
+    for (long o = 0; o < n;) {
+        long m = static_cast<long>(buf.size());
+        if (o + m > n) m = n - o;
+        for (long i = 0; i < m; ++i) {
+            const float y = x[o + i] * 32768.0f;
+            int16_t v;
+            if (!(y == y)) v = 0;                    // NaN
+            else if (y >= 32767.0f) v = 32767;       // +clip (covers +inf)
+            else if (y <= -32768.0f) v = -32768;     // -clip (covers -inf)
+            else v = static_cast<int16_t>(std::lrintf(y));  // half-to-even
+            buf[i] = v;
+        }
+        if (std::fwrite(buf.data(), 2, m, f) != static_cast<size_t>(m)) { std::fclose(f); return -1; }
+        o += m;
+    }
+    if (std::fclose(f) != 0) return -1;
+    return 0;
+}
+
 // RMS over windows of window_ms starting at every millisecond.
 // Writes floor(sqrt(mean(int16_scaled^2))) like pydub/audioop. Returns the
 // number of windows.

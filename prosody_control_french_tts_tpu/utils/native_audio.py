@@ -80,6 +80,14 @@ def ensure_built(force: bool = False) -> bool:
         ctypes.c_long,
         ctypes.POINTER(ctypes.c_long),
     ]
+    lib.audioio_write_wav_f32.restype = ctypes.c_long
+    lib.audioio_write_wav_f32.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
     lib.audioio_window_rms.restype = ctypes.c_long
     lib.audioio_window_rms.argtypes = [
         ctypes.POINTER(ctypes.c_float),
@@ -163,6 +171,26 @@ def load_batch_i16(paths: list[str | Path], stride: int, target_rate: int = 0):
     ok = lengths >= 0
     lengths = np.where(ok, lengths, 0)
     return out, lengths.astype(np.int32), int(rate)
+
+
+def write_wav_f32(path: str | Path, samples: np.ndarray, rate: int, channels: int) -> bool:
+    """One-pass float32 → PCM16 WAV write (bit-identical quantization to
+    utils/wavio.write_wav's numpy path — round half-to-even, clamp). The
+    numpy path costs ~5 full passes + 2 whole-buffer copies; on long
+    stitched outputs this is the merge step's dominant host cost. Returns
+    False when the native library is unavailable or the write failed
+    (caller falls back)."""
+    if not available():
+        return False
+    x = np.ascontiguousarray(samples, np.float32)
+    rc = _lib.audioio_write_wav_f32(
+        str(path).encode(),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.size,
+        int(rate),
+        int(channels),
+    )
+    return rc == 0
 
 
 def window_rms(x: np.ndarray, rate: int, window_ms: int):

@@ -181,6 +181,14 @@ def write_wav(path: str | Path, audio: Audio | np.ndarray, rate: int | None = No
         channels = 1
     else:
         channels = samples.shape[1]
+    if samples.dtype == np.float32:
+        # one-pass native writer (bit-identical quantization; the numpy
+        # path below costs ~5 full passes + 2 whole-buffer copies — the
+        # merge step's dominant host cost on long stitched outputs)
+        from . import native_audio
+
+        if native_audio.write_wav_f32(path, samples, int(rate), channels):
+            return
     pcm = np.clip(np.round(samples * 32768.0), -32768, 32767).astype("<i2")
     data = pcm.tobytes()
     hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"

@@ -79,6 +79,40 @@ class TestNativeAudio:
         batch, lens, rate = res
         assert list(lens) == [600, 0] and batch[1].max() == 0
 
+    def test_native_writer_bit_parity(self, native, tmp_path, rng):
+        """The one-pass C++ PCM16 writer must produce byte-identical files
+        to the numpy quantization (round half-to-even then clamp),
+        including exact-half codes, out-of-range clips, and non-finite
+        samples."""
+        specials = np.array(
+            [0.5 / 32768, 1.5 / 32768, -0.5 / 32768, 2.5 / 32768,  # exact halves
+             1.0, -1.0, 1.5, -1.5, np.inf, -np.inf, np.nan, 0.0,
+             32766.5 / 32768, -32767.5 / 32768, 0.999999, -0.999999],
+            np.float32,
+        )
+        x = np.concatenate([specials, (rng.normal(size=30000) * 0.4).astype(np.float32)])
+        p_nat = tmp_path / "nat.wav"
+        assert native.write_wav_f32(p_nat, x, 22050, 1)
+        pcm = np.clip(np.round(np.where(np.isnan(x), 0.0, x) * 32768.0), -32768, 32767).astype("<i2")
+        import struct
+
+        data = pcm.tobytes()
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 22050, 22050 * 2, 2, 16)
+        hdr += b"data" + struct.pack("<I", len(data))
+        assert p_nat.read_bytes() == hdr + data
+
+    def test_write_wav_native_dispatch_roundtrip(self, native, tmp_path, rng):
+        # f32 input goes through the native writer inside wavio.write_wav;
+        # the decoded samples must round-trip exactly (int16 grid)
+        x = (rng.normal(size=5000) * 0.3).clip(-1, 1).astype(np.float32)
+        p = tmp_path / "w.wav"
+        wavio.write_wav(p, x, 16000)
+        back = wavio.read_wav(p).to_mono()
+        assert back.rate == 16000
+        q = np.clip(np.round(x * 32768.0), -32768, 32767) / 32768.0
+        np.testing.assert_array_equal(np.asarray(back.samples, np.float32), q.astype(np.float32))
+
     def test_batch_failure_row(self, native, tmp_path):
         bad = tmp_path / "bad.wav"
         bad.write_bytes(b"junk")
