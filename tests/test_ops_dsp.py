@@ -311,6 +311,36 @@ class TestLoudness:
         assert not bool(valid[0])
 
 
+class TestRangeMax:
+    def test_query_matches_bruteforce(self, rng):
+        """Radix-SUB edge decomposition vs a literal max over the slice,
+        fuzzing window placements across chunk/sub-block boundaries."""
+        from prosody_control_french_tts_tpu.ops.rangemax import CHUNK, SUB, RangeMax
+
+        T = 3 * CHUNK + 517  # non-multiple of CHUNK and SUB
+        x = rng.normal(size=(2, T)).astype(np.float32)
+        r = RangeMax.build(jnp.asarray(x))
+        los, his = [], []
+        # adversarial boundaries: chunk edges, sub edges, ±1, tiny/empty/full
+        marks = [0, 1, SUB - 1, SUB, SUB + 1, CHUNK - 1, CHUNK, CHUNK + 1,
+                 2 * CHUNK + 3, T - SUB, T - 1, T]
+        for lo in marks:
+            for width in [0, 1, SUB - 1, SUB, SUB + 1, CHUNK, CHUNK + 5, 2 * CHUNK + 7, T]:
+                los.append(min(lo, T))
+                his.append(min(lo + width, T))
+        for _ in range(200):
+            a, b = sorted(rng.integers(0, T + 1, size=2).tolist())
+            los.append(a)
+            his.append(b)
+        lo = jnp.asarray(np.array([los, los]), jnp.int32)
+        hi = jnp.asarray(np.array([his, his]), jnp.int32)
+        got = np.asarray(r.query(lo, hi))
+        for row in range(2):
+            for j, (a, b) in enumerate(zip(los, his)):
+                exp = np.abs(x[row, a:b]).max() if b > a else 0.0
+                assert got[row, j] == np.float32(exp), (row, a, b, got[row, j], exp)
+
+
 class TestKWeightFIR:
     def test_fir_matches_fft_and_lfilter(self, rng):
         """The TPU production K-weighting (truncated-FIR Toeplitz matmul,
