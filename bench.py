@@ -56,6 +56,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 CORPUS = Path("/root/reference/Data/voice/records/audio")
 
 
+def _spread_n(default: int = 5) -> int:
+    """Timed repetitions per figure (median + IQR). ``BENCH_SPREAD_N``
+    overrides; decision-grade numbers need N≥5 (round-3 review item 4)."""
+    return max(int(os.environ.get("BENCH_SPREAD_N", default)), 1)
+
+
+def _median_iqr(vals: list[float]) -> tuple[float, float]:
+    q1, med, q3 = np.percentile(np.asarray(vals, np.float64), [25.0, 50.0, 75.0])
+    return float(med), float(q3 - q1)
+
+
 def _load_corpus():
     from prosody_control_french_tts_tpu.prosody.measure import segment_sort_key
     from prosody_control_french_tts_tpu.utils.wavio import read_wav
@@ -103,7 +114,7 @@ def _bucket_args(sig_list, T, rate, pp, jitter):
     return args, dict(rate=float(rate), T=T, T2=T, pp=pp)
 
 
-def bench_measure() -> float:
+def bench_measure() -> tuple[float, float]:
     """Headline: audio-hours/hour through the measure device program.
 
     One FUSED dispatch per corpus iteration (prosody.measure.
@@ -127,7 +138,7 @@ def bench_measure() -> float:
         groups[bucket_length(s.size)].append(s)
 
     iters = 5
-    passes = 2  # best-of-N timed passes (run-to-run tunnel noise is ~±3 %)
+    passes = _spread_n()  # N timed passes → median + IQR (tunnel noise ~±3 %)
     arg_sets = [
         [_bucket_args(v, T, rate, pp, 1e-6 * (k + 1)) for T, v in sorted(groups.items())]
         for k in range(passes * iters + 1)
@@ -148,20 +159,22 @@ def bench_measure() -> float:
     # per-iteration checksums (each depends on every output of its program,
     # so reading it forces full execution; one scalar read per launch).
     # Every pass uses fresh jittered inputs (identical arg objects would be
-    # served from cache on this runtime); best pass is reported.
+    # served from cache on this runtime). N passes → median + IQR: a single
+    # sample is not decision-grade on a shared tunnel (round-3 review).
     # (A 5×-batched single-launch variant measured WORSE — 1432 vs 1525
     # audio-h/h — bigger working sets beat the saved launch overhead.)
-    best_dt = float("inf")
+    rates = []
+    audio_hours = total_audio_s * iters / 3600.0
     for p in range(passes):
         t0 = time.perf_counter()
         sinks = [fused(p * iters + k)[1] for k in range(iters)]
         sink = sum(float(s) for s in sinks)
         dt = time.perf_counter() - t0
         assert np.isfinite(sink)
-        best_dt = min(best_dt, dt)
+        rates.append(audio_hours / (dt / 3600.0))
 
-    audio_hours = total_audio_s * iters / 3600.0
-    return audio_hours / (best_dt / 3600.0)
+    med, iqr = _median_iqr(rates)
+    return med, iqr
 
 
 def bench_bert() -> float:
@@ -229,18 +242,21 @@ def _seed_e2e_transcripts(root, name: str) -> None:
         (vdir / "transcription_raw" / f"{seg.stem}.txt").write_text(txt, encoding="utf-8")
 
 
-def bench_pipeline_e2e() -> tuple[float, dict, dict]:
+def bench_pipeline_e2e(aligner: str = "energy") -> tuple[float, float, dict, dict]:
     """Full 8-step voice run (Preprocess → Compare Breaks) on the WHOLE
     bundled corpus (all 10 reference segments, ≈162 s) with the FakeBackend
-    TTS + energy aligner: end-to-end audio-hours per wall-clock hour,
-    including all host work (silence split, TextGrids, SSML emission,
-    stitching, break comparison). Also returns the per-step seconds read
-    from the run's step_timings.jsonl (core.profiling.StepTimer) so the
-    BENCH artifact shows WHERE the end-to-end time goes.
+    TTS: end-to-end audio-hours per wall-clock hour, including all host
+    work (silence split, TextGrids, SSML emission, stitching, break
+    comparison). With ``aligner="whisper"`` the packaged Whisper checkpoint
+    transcribes + DTW-aligns every segment inside the loop — the
+    reference's production shape (align is step 2 of audioPipeline.py, not
+    a sidecar). Also returns the per-step seconds read from the run's
+    step_timings.jsonl (core.profiling.StepTimer) so the BENCH artifact
+    shows WHERE the end-to-end time goes.
 
-    Steady-state methodology: the run executes twice and only the second is
-    timed — the first run's jit compiles cost minutes on this 1-vCPU host
-    and would otherwise turn the figure into a compile-time benchmark."""
+    Steady-state methodology: one untimed warmup run pays the cold jit
+    compiles (minutes on this 1-vCPU host), then N timed runs → median +
+    IQR (single samples are not decision-grade on a shared tunnel)."""
     import shutil
     import tempfile
 
@@ -258,7 +274,7 @@ def bench_pipeline_e2e() -> tuple[float, dict, dict]:
                 "out_dir": "Out",
                 "voice_names": ["rec"],
                 "tts_backend": "fake",
-                "aligner": "energy",
+                "aligner": aligner,
                 "silence": {"min_silence_len": 1000, "silence_thresh": -50, "keep_silence": 300},
             },
             root,
@@ -267,7 +283,10 @@ def bench_pipeline_e2e() -> tuple[float, dict, dict]:
         t0 = time.perf_counter()
         pipe = AudioPipeline("rec", cfg, tts=FakeBackend(seed=1))
         pipe.preprocess()
-        _seed_e2e_transcripts(root, "rec")
+        if aligner == "energy":
+            # the energy aligner is transcript-driven; ASR aligners
+            # (whisper) transcribe for themselves
+            _seed_e2e_transcripts(root, "rec")
         remaining = [n for n in AudioPipeline.STEP_NAMES if n != "Preprocess"]
         pipe.cfg.steps_to_run = remaining
         pipe.run()
@@ -280,18 +299,20 @@ def bench_pipeline_e2e() -> tuple[float, dict, dict]:
             steps[rec["step"]] = steps.get(rec["step"], 0.0) + rec["seconds"]
         return (audio_seconds / 3600.0) / (dt / 3600.0), steps, dict(profiling.PHASES)
 
-    # two identical runs; only the second (steady-state, compiles warm) is
-    # reported — the first pays any cold jit compiles
-    for _warmup_then_timed in range(2):
+    rates = []
+    for k in range(_spread_n() + 1):  # first run = untimed compile warmup
         root = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
         try:
-            result = run_once(root)
+            rate, steps, phases = run_once(root)
+            if k > 0:
+                rates.append(rate)
         finally:
             shutil.rmtree(root, ignore_errors=True)
-    return result
+    med, iqr = _median_iqr(rates)
+    return med, iqr, steps, phases
 
 
-def bench_pipeline_multivoice(n_voices: int = 3) -> float:
+def bench_pipeline_multivoice(n_voices: int = 3) -> tuple[float, float]:
     """Steady-state MULTI-VOICE throughput: N voices (each the full bundled
     corpus) through core.batch_runner.run_all_voices — the production shape
     (the reference runs a 5-process pool, config.yaml:57-58). Phase 1's
@@ -300,7 +321,8 @@ def bench_pipeline_multivoice(n_voices: int = 3) -> float:
     device program measures all voices from already-resident buffers:
     transfers and host work overlap instead of serializing per voice.
 
-    Same two-run warm methodology as bench_pipeline_e2e."""
+    Same warmup + N timed runs (median/IQR) methodology as
+    bench_pipeline_e2e."""
     import shutil
     import tempfile
 
@@ -336,13 +358,16 @@ def bench_pipeline_multivoice(n_voices: int = 3) -> float:
             assert (root / "Out" / "results" / n / "OUT.wav").exists()
         return (audio_seconds / 3600.0) / (dt / 3600.0)
 
-    for _warmup_then_timed in range(2):
+    rates = []
+    for k in range(_spread_n() + 1):  # first run = untimed compile warmup
         root = Path(tempfile.mkdtemp(prefix="bench_mv_"))
         try:
-            result = run_once(root)
+            rate = run_once(root)
+            if k > 0:
+                rates.append(rate)
         finally:
             shutil.rmtree(root, ignore_errors=True)
-    return result
+    return _median_iqr(rates)
 
 
 def bench_llm_decode() -> float:
@@ -532,6 +557,90 @@ def bench_llm_decode_7b_quant(mode: str = "int8", batch: int = 8, new: int = 32)
     }
 
 
+def bench_serving(n_clients: int = 16, per_client: int = 8) -> dict:
+    """HTTP SSML-prediction service under concurrent load (serving/):
+    sentences/sec + p50/p99 request latency, micro-batching ON (max_batch
+    32) vs OFF (max_batch 1 — the per-request shape of the reference's
+    Ollama client, fewshot/model.py:603). Hermetic: random-init break
+    tagger at the production geometry on the accelerator (tiny on CPU),
+    loopback HTTP, stdlib clients."""
+    import http.client
+    import threading
+
+    from prosody_control_french_tts_tpu.models.bert import BertConfig
+    from prosody_control_french_tts_tpu.models.tokenizer import WordPieceTokenizer
+    from prosody_control_french_tts_tpu.serving.predictor import SSMLPredictor
+
+    words = (
+        "bonjour merci la maison est grande demain nous allons ensemble vers "
+        "la ville et le monde entier écoute cette musique magnifique"
+    ).split()
+    rng = np.random.default_rng(0)
+    texts = [
+        " ".join(rng.choice(words, size=int(rng.integers(6, 14)))) for _ in range(n_clients * per_client)
+    ]
+    tok = WordPieceTokenizer.train([" ".join(words)], vocab_size=512, min_freq=1)
+    cfg = (
+        BertConfig(vocab_size=max(len(tok), 512))
+        if _on_accel()
+        else BertConfig.tiny(vocab_size=max(len(tok), 512))
+    )
+
+    out: dict = {}
+    for label, max_batch, wait_ms in (("batched", 32, 4.0), ("unbatched", 1, 0.0)):
+        import jax.numpy as jnp
+
+        from prosody_control_french_tts_tpu.models.bert import BreakTagger
+
+        model = BreakTagger(cfg)
+        ids0 = jnp.zeros((1, cfg.max_len), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids0, jnp.ones((1, cfg.max_len), bool))
+        svc = SSMLPredictor(tok, cfg, params, max_batch=max_batch, max_wait_ms=wait_ms)
+        httpd = svc.serve(port=0)
+        port = httpd.server_address[1]
+        try:
+            # warmup: compile every power-of-two batch bucket directly
+            b = 1
+            while b <= max_batch:
+                svc._predict_batch(texts[:b])
+                b *= 2
+            lat: list[float] = []
+            lock = threading.Lock()
+
+            def client(chunk):
+                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+                for t in chunk:
+                    body = json.dumps({"text": t})
+                    t0 = time.perf_counter()
+                    conn.request("POST", "/ssml", body, {"Content-Type": "application/json"})
+                    resp = conn.getresponse()
+                    resp.read()
+                    dt = time.perf_counter() - t0
+                    assert resp.status == 200
+                    with lock:
+                        lat.append(dt)
+                conn.close()
+
+            threads = [
+                threading.Thread(target=client, args=(texts[i * per_client : (i + 1) * per_client],))
+                for i in range(n_clients)
+            ]
+            t0 = time.perf_counter()
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            wall = time.perf_counter() - t0
+            lat_ms = np.asarray(lat) * 1000.0
+            out[f"serving_{label}_sentences_per_sec"] = round(len(lat) / wall, 1)
+            out[f"serving_{label}_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 1)
+            out[f"serving_{label}_p99_ms"] = round(float(np.percentile(lat_ms, 99)), 1)
+        finally:
+            httpd.shutdown()
+            svc.batcher.close()
+    return out
+
+
 def _on_accel() -> bool:
     return jax.devices()[0].platform != "cpu"
 
@@ -586,22 +695,30 @@ def llm_decode_roofline(tokens_per_sec: float) -> dict:
 
 
 def main():
-    value = bench_measure()
-    extra = {}
+    value, value_iqr = bench_measure()
+    extra = {"prosody_extraction_iqr": round(value_iqr, 1), "bench_spread_n": _spread_n()}
     if not os.environ.get("BENCH_FAST"):
         bert_sps = round(bench_bert(), 1)
         extra["bert_sentences_per_sec"] = bert_sps
         extra["bert_mfu"] = round(bert_mfu(bert_sps), 3)
-        e2e, steps, phases = bench_pipeline_e2e()
+        e2e, e2e_iqr, steps, phases = bench_pipeline_e2e()
         extra["pipeline_e2e_audio_hours_per_hour"] = round(e2e, 1)
+        extra["pipeline_e2e_iqr"] = round(e2e_iqr, 1)
         extra["pipeline_e2e_step_seconds"] = {k: round(v, 2) for k, v in steps.items()}
         extra["pipeline_e2e_phase_seconds"] = {k: round(v, 2) for k, v in sorted(phases.items())}
-        extra["pipeline_multivoice_audio_hours_per_hour"] = round(bench_pipeline_multivoice(), 1)
+        mv, mv_iqr = bench_pipeline_multivoice()
+        extra["pipeline_multivoice_audio_hours_per_hour"] = round(mv, 1)
+        extra["pipeline_multivoice_iqr"] = round(mv_iqr, 1)
+        we2e, we2e_iqr, wsteps, _ = bench_pipeline_e2e(aligner="whisper")
+        extra["pipeline_e2e_whisper_audio_hours_per_hour"] = round(we2e, 1)
+        extra["pipeline_e2e_whisper_iqr"] = round(we2e_iqr, 1)
+        extra["pipeline_e2e_whisper_step_seconds"] = {k: round(v, 2) for k, v in wsteps.items()}
         llm_tps = round(bench_llm_decode(), 1)
         extra["llm_decode_tokens_per_sec"] = llm_tps
         extra.update(llm_decode_roofline(llm_tps))
         extra.update(bench_llm_train())
         extra["whisper_align_audio_hours_per_hour"] = round(bench_whisper_align(), 1)
+        extra.update(bench_serving())
     if os.environ.get("BENCH_7B"):
         extra.update(bench_llm_decode_7b_quant(os.environ.get("BENCH_7B_MODE", "int8")))
 

@@ -38,9 +38,19 @@ def wer(reference: str, hypothesis: str) -> float:
     return float(prev[-1]) / len(ref)
 
 
-def f0_contour(x: np.ndarray, sr: int, floor: float = 60.0, ceiling: float = 600.0) -> np.ndarray:
-    """Voiced-only F0 contour for eval (the notebook uses torchcrepe 50 ms
-    hops; we reuse the Boersma kernel with a wider range)."""
+def f0_contour(
+    x: np.ndarray, sr: int, floor: float = 60.0, ceiling: float = 600.0, method: str = "yin"
+) -> np.ndarray:
+    """F0 contour for eval (0 = unvoiced). Default tracker is YIN
+    (eval.yin) — an INDEPENDENT estimator, so voice evaluation does not
+    grade the pipeline's own Boersma kernel with itself (the reference uses
+    torchcrepe in evaluate_voice.ipynb for the same independence).
+    ``method="boersma"`` selects the production kernel (ops.pitch) — used
+    by the cross-method agreement harness."""
+    if method == "yin":
+        from .yin import yin_track
+
+        return yin_track(np.asarray(x, np.float32), sr, fmin=floor, fmax=ceiling)
     tr = praat_pitch(
         np.asarray(x, np.float32), sr, PitchParams(floor=floor, ceiling=ceiling)
     )

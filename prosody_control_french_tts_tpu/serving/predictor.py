@@ -68,9 +68,20 @@ class SSMLPredictor:
         self.batcher = MicroBatcher(self._predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
     # -- core -----------------------------------------------------------
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Pad the micro-batch to the next power of two: under live traffic
+        the collected batch size varies per flush, and each distinct leading
+        dimension would be a fresh XLA compile (minutes over a remote
+        tunnel). log2(max_batch) static shapes cover every load level."""
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
     def _predict_batch(self, texts: list[str]) -> list[dict]:
         L = self.cfg.max_len
-        B = len(texts)
+        B = self._bucket(len(texts))
         ids = np.full((B, L), self.tokenizer.pad_id, np.int32)
         word_idx = np.full((B, L), -1, np.int32)
         words_per = []
@@ -81,7 +92,10 @@ class SSMLPredictor:
             tok_ids, widx = tok_ids[:L], widx[:L]
             ids[i, : len(tok_ids)] = tok_ids
             word_idx[i, : len(widx)] = widx
+        # padding rows keep one live token so attention never sees an
+        # all-masked row; their outputs are sliced away below
         mask = ids != self.tokenizer.pad_id
+        mask[:, 0] = True
         logits = np.asarray(self._fwd(self.params, jnp.asarray(ids), jnp.asarray(mask)))
         breaks = logits.argmax(-1) == 1  # [B, L]
 

@@ -286,6 +286,150 @@ class TestPreprocessAndAlign:
         assert sum(1 for iv in tg.tiers[0] if iv.mark.strip()) == 3
 
 
+# ---------------------------------------------------------------------------
+# Packaged aligners driving the FULL pipeline. The reference runs its
+# aligner as step 2 of the production pipeline (Code/audioPipeline.py:179-241)
+# — not as a sidecar — so the packaged CTC/Whisper checkpoints must survive
+# the whole 8-step loop: silence split → ASR/forced alignment → raw synth →
+# measure → SSML synth/merge → export → final transcribe → break compare.
+# ---------------------------------------------------------------------------
+
+REAL_CORPUS = Path("/root/reference/Data/voice/records/audio")
+REAL_TEXTS = {  # bundled-corpus transcripts (bench.py _E2E_TEXTS)
+    "segment_ph2": "bonjour et bienvenue dans cette nouvelle emission consacree a la musique",
+    "segment_ph3": "nous allons parler aujourd'hui des grands compositeurs francais du siecle dernier",
+}
+
+
+def _build_synth_voice(base: Path, name: str, sentences: list[str]) -> None:
+    """brute/segment.wav at 16 kHz: synth_speech sentences joined by 1.5 s
+    of silence (so Preprocess recovers one segment per sentence)."""
+    from prosody_control_french_tts_tpu.align.synth_speech import SynthSpec, synth_sentence
+
+    spec = SynthSpec()
+    vdir = base / "Data" / "voice" / name
+    (vdir / "brute").mkdir(parents=True)
+    parts = []
+    for i, s in enumerate(sentences):
+        audio, _ = synth_sentence(s, spec, seed=900 + i)
+        parts.append(audio)
+        parts.append(np.zeros(int(1.5 * spec.sample_rate), np.float32))
+    wavio.write_wav(vdir / "brute" / "segment.wav", np.concatenate(parts), spec.sample_rate)
+
+
+def _aligner_cfg(base: Path, name: str, aligner: str) -> PipelineConfig:
+    return PipelineConfig.from_dict(
+        {
+            "data_dir": "Data/voice",
+            "out_dir": "Out",
+            "voice_names": [name],
+            "tts_backend": "fake",
+            "aligner": aligner,
+            "silence": {"min_silence_len": 1000, "silence_thresh": -50, "keep_silence": 300},
+        },
+        base,
+    )
+
+
+def _run_remaining_steps(pipe: AudioPipeline) -> None:
+    pipe.cfg.steps_to_run = [s for s in AudioPipeline.STEP_NAMES if s != "Preprocess"]
+    pipe.run()
+
+
+def _assert_full_artifacts(base: Path, name: str, n_segments: int) -> None:
+    vdir = base / "Data" / "voice" / name
+    tgs = list((vdir / "WhisperTS_textgrid_files").glob("*.TextGrid"))
+    assert len(tgs) == n_segments
+    for tg_path in tgs:
+        tg = read_textgrid(tg_path)
+        assert sum(1 for iv in tg.tiers[0] if iv.mark.strip()) >= 1, tg_path
+    results = base / "Out" / "results" / name
+    assert (results / "OUT.wav").exists()
+    assert (results / "OUT.TextGrid").exists()
+    assert (results / "pause_comparison_full.csv").exists()
+    assert (results / f"training_data_{name}.json").exists()
+
+
+class TestPackagedAlignerPipelines:
+    """Hermetic full-pipeline runs where the packaged checkpoints are the
+    aligner — the synthetic voice is in the aligners' training distribution
+    (align/synth_speech.py), so the whisper run exercises TRUE zero-transcript
+    ASR and the CTC run exercises forced alignment."""
+
+    SENTENCES = [
+        "bonjour merci la maison est grand",
+        "demain la musique commence ici",
+    ]
+
+    def test_whisper_full_pipeline_asr(self, tmp_path):
+        """aligner: whisper, NO transcripts provided — the packaged model
+        transcribes, DTW-aligns, and the pipeline runs to Compare Breaks."""
+        name = "wv"
+        _build_synth_voice(tmp_path, name, self.SENTENCES)
+        cfg = _aligner_cfg(tmp_path, name, "whisper")
+        pipe = AudioPipeline(name, cfg, tts=FakeBackend(seed=1))
+        pipe.preprocess()
+        segs = sorted((tmp_path / "Data" / "voice" / name / "audio").glob("*.wav"))
+        assert len(segs) == len(self.SENTENCES)
+        _run_remaining_steps(pipe)
+        _assert_full_artifacts(tmp_path, name, len(self.SENTENCES))
+        # ASR quality on in-distribution audio: most true words recovered
+        txt_dir = tmp_path / "Data" / "voice" / name / "transcription_raw"
+        got = " ".join(
+            (txt_dir / f"{s.stem}.txt").read_text(encoding="utf-8") for s in segs
+        ).split()
+        truth = " ".join(self.SENTENCES).split()
+        hits = sum(1 for w in truth if w in got)
+        assert hits >= int(0.6 * len(truth)), (got, truth)
+
+    def test_ctc_full_pipeline(self, tmp_path):
+        """aligner: ctc (forced alignment — transcript-driven, like the
+        reference's MFA/ctc-forced-aligner paths)."""
+        name = "cv"
+        _build_synth_voice(tmp_path, name, self.SENTENCES)
+        cfg = _aligner_cfg(tmp_path, name, "ctc")
+        pipe = AudioPipeline(name, cfg, tts=FakeBackend(seed=1))
+        pipe.preprocess()
+        vdir = tmp_path / "Data" / "voice" / name
+        segs = sorted((vdir / "audio").glob("*.wav"))
+        (vdir / "transcription_raw").mkdir(exist_ok=True)
+        for seg, txt in zip(segs, self.SENTENCES):
+            (vdir / "transcription_raw" / f"{seg.stem}.txt").write_text(txt, encoding="utf-8")
+        _run_remaining_steps(pipe)
+        _assert_full_artifacts(tmp_path, name, len(self.SENTENCES))
+
+
+class TestPackagedAlignerRealCorpus:
+    """Full pipeline on the BUNDLED REAL corpus (2 of the 10 reference
+    segments, runtime-bounded on this 1-vCPU host) with the packaged
+    aligners. Transcripts are provided, so whisper teacher-forces + DTWs
+    and CTC force-aligns — the packaged ASR was trained on synthetic French
+    and its free transcription of real French is measured separately
+    (tests/test_aligner_agreement.py)."""
+
+    @pytest.mark.parametrize("aligner", ["whisper", "ctc"])
+    def test_full_pipeline_real_segments(self, tmp_path, aligner):
+        if not REAL_CORPUS.is_dir():
+            pytest.skip("bundled corpus not available")
+        name = f"real_{aligner}"
+        vdir = tmp_path / "Data" / "voice" / name
+        (vdir / "audio").mkdir(parents=True)
+        (vdir / "transcription_raw").mkdir(parents=True)
+        for stem, txt in REAL_TEXTS.items():
+            data = (REAL_CORPUS / f"{stem}.wav").read_bytes()
+            (vdir / "audio" / f"{stem}.wav").write_bytes(data)
+            (vdir / "transcription_raw" / f"{stem}.txt").write_text(txt, encoding="utf-8")
+        cfg = _aligner_cfg(tmp_path, name, aligner)
+        pipe = AudioPipeline(name, cfg, tts=FakeBackend(seed=1))
+        _run_remaining_steps(pipe)
+        _assert_full_artifacts(tmp_path, name, len(REAL_TEXTS))
+        # word tiers must segment the real audio into >1 word per segment
+        for stem in REAL_TEXTS:
+            tg = read_textgrid(vdir / "WhisperTS_textgrid_files" / f"{stem}.TextGrid")
+            words = [iv for iv in tg.tiers[0] if iv.mark.strip()]
+            assert len(words) >= 5, (stem, len(words))
+
+
 class TestRateMismatch:
     def test_raw_at_different_rate(self, tmp_path):
         """Raw synthesis at 24 kHz against a 44.1 kHz natural corpus must
