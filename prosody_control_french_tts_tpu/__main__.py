@@ -13,6 +13,7 @@ Commands mirror the reference's entry points (README.md:118-143 usage):
   pretrain-ctc  rebuild the packaged out-of-the-box CTC checkpoint
   pretrain-whisper  rebuild the packaged out-of-the-box Whisper checkpoint
   pretrain-masknet  rebuild the packaged vocal-isolation checkpoint
+  pretrain-pos  rebuild the packaged contextual French POS tagger
   bench      the throughput benchmark
 """
 
@@ -231,6 +232,22 @@ def main(argv: list[str] | None = None):
             args.out, n_mixtures=args.mixtures, epochs=args.epochs, realistic=not args.plain
         )
         print(f"held-out SI-SNR gain {gain:.2f} dB -> {args.out}")
+        return 0
+    if cmd == "pretrain-pos":
+        import argparse
+
+        from .models.pos_data import generate_treebank
+        from .models.pos_tagger import PACKAGED_WEIGHTS, save_tagger, train_pos_tagger
+
+        ap = argparse.ArgumentParser(prog="pretrain-pos")
+        ap.add_argument("--out", default=str(PACKAGED_WEIGHTS))
+        ap.add_argument("--sentences", type=int, default=16000)
+        ap.add_argument("--steps", type=int, default=900)
+        args = ap.parse_args(rest)
+        sents = generate_treebank(args.sentences, seed=0)
+        params, feat, cfg = train_pos_tagger(sents, steps=args.steps)
+        save_tagger(params, feat, cfg, args.out)
+        print(f"saved -> {args.out}")
         return 0
     if cmd == "bench":
         import runpy

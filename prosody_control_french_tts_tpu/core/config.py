@@ -65,6 +65,7 @@ class PipelineConfig:
     # framework extensions (absent from reference configs → defaults)
     tts_backend: str = "azure"  # azure | fake
     aligner: str = "precomputed"  # precomputed | energy | ctc | whisper_jax
+    pos_backend: str = "lexicon"  # lexicon | contextual (models/pos_tagger)
     raw: dict = field(default_factory=dict)
 
     @property
@@ -112,6 +113,7 @@ class PipelineConfig:
             ab_test=cfg.get("ab_test", {}) or {},
             tts_backend=cfg.get("tts_backend", "azure"),
             aligner=cfg.get("aligner", "precomputed"),
+            pos_backend=cfg.get("pos_backend", "lexicon"),
             raw=cfg,
         )
 

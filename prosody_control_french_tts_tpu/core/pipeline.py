@@ -101,6 +101,18 @@ class AudioPipeline:
 
         self.tts = tts or self._make_tts()
         self.last_measure: MeasureResult | None = None
+        self._pos_backend = None
+
+    @property
+    def pos_backend(self):
+        """POS backend per cfg.pos_backend: "lexicon" (fr_pos, default) or
+        "contextual" (models/pos_tagger packaged checkpoint) — the spaCy
+        replacement hook (Code/audioPipeline.py:26-27)."""
+        if self._pos_backend is None:
+            from ..models.pos_tagger import get_pos_backend
+
+            self._pos_backend = get_pos_backend(self.cfg.pos_backend)
+        return self._pos_backend
 
     def _make_tts(self) -> TTSBackend:
         if self.cfg.tts_backend == "fake":
@@ -311,7 +323,7 @@ class AudioPipeline:
                 raw_txt.write_text(words or "...", encoding="utf-8")
             from ..utils.text import clean_transcript
 
-            cleaned = fr_pos.remove_spurious_commas(clean_transcript(words))
+            cleaned = self.pos_backend.remove_spurious_commas(clean_transcript(words))
             (txt_dir / f"{stem}.txt").write_text(cleaned, encoding="utf-8")
 
     # 3 ------------------------------------------------------------------
@@ -370,6 +382,8 @@ class AudioPipeline:
             self.textgrid_dir,
             self.raw_audio_dir,
             self.cfg.prosody,
+            clean_word=self.pos_backend.remove_spurious_commas,
+            pos_of_factory=self.pos_backend.pos_of_factory,
         )
         self.emit_measure_csvs(result)
 

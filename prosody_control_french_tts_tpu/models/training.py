@@ -60,13 +60,24 @@ def init_train(
     return model, tx, TrainState(params=params, opt_state=opt_state)
 
 
-def make_train_step(model: DecoderLM, tx, donate: bool = True):
+def make_train_step(model: DecoderLM, tx, donate: bool = True, trainable: dict | None = None):
     """One fused fwd+bwd+update program.
+
+    ``trainable`` (a bool pytree like ``lora_param_mask(params)``) restricts
+    differentiation to those leaves. This is not just bookkeeping: without
+    it the VJP emits a weight-gradient matmul for EVERY frozen base kernel
+    (embedding, lm-head, all attention/ffn projections) whose result the
+    optimizer then multiplies by zero — ~2P of the 6P fwd+bwd FLOPs and the
+    matching HBM write traffic, entirely wasted in the LoRA/QLoRA shape
+    (the reference freezes the base the same way, QwenA.py:502-537).
 
     Multi-chip usage is computation-follows-data: shard ``params`` with
     ``shard_train_inputs`` (TP policy + batch over "data") before calling;
     jit propagates the shardings and XLA inserts the collectives.
     """
+    trainable_flat = (
+        jax.tree_util.tree_flatten(trainable)[0] if trainable is not None else None
+    )
 
     def step_fn(params, opt_state, ids, loss_mask):
         # Differentiate only float leaves: a quantized base (models.quant)
@@ -75,7 +86,12 @@ def make_train_step(model: DecoderLM, tx, donate: bool = True):
         # float adapters trained", so integer leaves ride along as
         # constants with zero updates.
         flat, treedef = jax.tree_util.tree_flatten(params)
-        fidx = [i for i, x in enumerate(flat) if jnp.issubdtype(x.dtype, jnp.floating)]
+        fidx = [
+            i
+            for i, x in enumerate(flat)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            and (trainable_flat is None or trainable_flat[i])
+        ]
 
         def loss_fn(fvals):
             merged = list(flat)

@@ -559,6 +559,7 @@ def prepare_voice(
     raw_audio_dir: Path,
     settings: ProsodySettings,
     clean_word=None,
+    pos_of_factory=None,
 ) -> PreparedVoice:
     """Everything before the device call: TextGrid parsing, syntagme
     construction, padded corpus loading, window/fallback bookkeeping."""
@@ -573,7 +574,12 @@ def prepare_voice(
         tgs = [read_textgrid(textgrid_dir / f"{n}.TextGrid") for n in names]
         raw_seqs = [extract_words_and_pauses(tg) for tg in tgs]
         synts_per_seg: list[list[Syntagme]] = [
-            pipeline_syntagmes(tg, settings.end_punctuation_pause_ms, clean_word=clean_word)
+            pipeline_syntagmes(
+                tg,
+                settings.end_punctuation_pause_ms,
+                clean_word=clean_word,
+                pos_of_factory=pos_of_factory,
+            )
             for tg in tgs
         ]
 
@@ -820,6 +826,7 @@ def measure_voice(
     settings: ProsodySettings,
     pitch_params: PitchParams | None = None,
     clean_word=None,
+    pos_of_factory=None,
 ) -> MeasureResult:
     """The full measure stage for one voice (Code/audioPipeline.py:261-602
     numerics; SSML emission happens in the pipeline layer)."""
@@ -827,7 +834,9 @@ def measure_voice(
 
     pp = pitch_params or PitchParams()
     with phase("measure/prepare"):
-        prep = prepare_voice(seg_files, textgrid_dir, raw_audio_dir, settings, clean_word)
+        prep = prepare_voice(
+            seg_files, textgrid_dir, raw_audio_dir, settings, clean_word, pos_of_factory
+        )
     with phase("measure/device"):
         outputs = run_measure_device(prep, pp)
     with phase("measure/postprocess"):

@@ -142,13 +142,20 @@ def pipeline_syntagmes(
     end_pause_ms: int,
     clean_word: Callable[[str], str] | None = None,
     pos_of: Callable[[str], str] = fr_pos.first_token_pos,
+    pos_of_factory: Callable[[list[str]], Callable[[str], str]] | None = None,
 ) -> list[Syntagme]:
     """The full chain as the measure step runs it
     (Code/audioPipeline.py:441-492): extract → per-word comma cleanup →
-    function-word pause filter → punctuation pauses → syntagmes."""
+    function-word pause filter → punctuation pauses → syntagmes.
+
+    ``pos_of_factory`` (e.g. ``ContextualTagger.make_pos_of``) receives the
+    cleaned word sequence and returns a sentence-aware ``pos_of`` — the
+    contextual-POS hook; when None the per-token ``pos_of`` is used."""
     seq = extract_words_and_pauses(tg)
     if clean_word is not None:
         seq = [(k, clean_word(t) if k == "word" else t, d) for k, t, d in seq]
+    if pos_of_factory is not None:
+        pos_of = pos_of_factory([t for k, t, _ in seq if k == "word"])
     seq = filter_function_word_pauses(seq, pos_of)
     seq = inject_punctuation_pauses(seq, end_pause_ms)
     return construct_syntagmes(seq)
