@@ -379,7 +379,12 @@ def bench_llm_decode() -> float:
     stack's shape, not a 7B claim)."""
     import jax.numpy as jnp
 
-    from prosody_control_french_tts_tpu.models.llm import DecoderLM, LLMConfig, greedy_generate
+    from prosody_control_french_tts_tpu.models.llm import (
+        DecoderLM,
+        LLMConfig,
+        fuse_decode_params,
+        greedy_generate_fused,
+    )
 
     on_accel = jax.devices()[0].platform != "cpu"
     if on_accel:
@@ -395,10 +400,13 @@ def bench_llm_decode() -> float:
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, P)), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), prompt[:, :1], positions=jnp.zeros((B, 1), jnp.int32))
-    out = greedy_generate(model, params, prompt, max_new=NEW)
+    # serving layout: LoRA folded, q|k|v and gate|up fused, bf16 weight
+    # stream (exact-parity test: tests/test_fused_decode.py)
+    fp = fuse_decode_params(params, cfg)
+    out = greedy_generate_fused(fp, cfg, prompt, max_new=NEW)
     int(np.asarray(out)[0, -1])  # compile + warm (read forces execution)
     t0 = time.perf_counter()
-    out = greedy_generate(model, params, jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, P)), jnp.int32), max_new=NEW)
+    out = greedy_generate_fused(fp, cfg, jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, P)), jnp.int32), max_new=NEW)
     sink = int(np.asarray(out)[0, -1])
     dt = time.perf_counter() - t0
     return B * NEW / dt
