@@ -177,22 +177,113 @@ def qwen_a_pairs(bdd: dict, max_words: int = 100) -> list[dict]:
     return pairs
 
 
-_NUM = re.compile(r"([+-]?\d+(?:\.\d+)?)(%|ms)")
+def _format_x_from_parsed(tokens: list[dict]) -> str:
+    """'x': text interspersed with bare <break/> tags
+    (data_formatting_QwenB.py:98-112)."""
+    parts = []
+    for t in tokens:
+        if t.get("type") == "text":
+            parts.append(t.get("text", ""))
+        elif t.get("type") == "break":
+            parts.append("<break/>")
+    return "".join(parts)
 
 
-def qwen_b_triples(bdd: dict) -> list[dict]:
-    """Stage B (x: text+breaks, y: full SSML, z: placeholder template)
-    (data_formatting_QwenB.py:221-295: numbers → '_%' / '_ms')."""
+def _format_yz_from_parsed(tokens: list[dict], template: bool) -> str:
+    """'y' (template=False) / 'z' (template=True): the reference's
+    pretty-printed block layout (data_formatting_QwenB.py:115-295) —
+    2-space-indented <prosody> blocks with 4-space-indented text, break
+    groups collapsed onto one line, a blank line between a break group and
+    a following prosody block, leading space. 'z' replaces every attribute
+    value with its placeholder (always all three prosody attrs, '_%';
+    breaks '<break time="_ms"/>')."""
+    elements: list[str] = []
+    idx = 0
+    n = len(tokens)
+    while idx < n:
+        t = tokens[idx]
+        ttype = t.get("type", "")
+        if ttype == "text":
+            text = t.get("text", "")
+            if template:
+                attr = ' pitch="_%" rate="_%" volume="_%"'
+            else:
+                pros = t.get("prosody", {})
+                parts = [
+                    f'{k}="{pros[k]}"' for k in ("pitch", "rate", "volume") if k in pros
+                ]
+                attr = (" " + " ".join(parts)) if parts else ""
+            elements.append(f"  <prosody{attr}>\n    {text}\n  </prosody>")
+            idx += 1
+        elif ttype == "break":
+            tags = []
+            while idx < n and tokens[idx].get("type") == "break":
+                if template:
+                    tags.append('<break time="_ms"/>')
+                else:
+                    tv = tokens[idx].get("time")
+                    tags.append(f'<break time="{tv}"/>' if tv else "<break/>")
+                idx += 1
+            elements.append("  " + "".join(tags))
+        else:  # passthrough for token types the pipeline never emits
+            if t.get("text"):
+                elements.append(f"  {t['text']}")
+            idx += 1
+    out: list[str] = []
+    for i, el in enumerate(elements):
+        out.append(el)
+        if "  <break" in el and i + 1 < len(elements) and elements[i + 1].startswith("  <prosody"):
+            out.append("")  # blank line between break group and prosody
+    return (" " + "\n".join(out)) if out else ""
+
+
+def _chunk_parsed_tokens(tokens: list[dict], max_words: int = 100) -> list[list[dict]]:
+    """~100-word chunks of a parsed token sequence, closing a chunk before
+    the text token that would overflow (data_formatting_QwenB.py:300-360;
+    the reference additionally splits inside an oversized text token at the
+    nearest period — pipeline syntagmes are short, so token-boundary
+    chunking covers the same data)."""
+    chunks: list[list[dict]] = []
+    cur: list[dict] = []
+    words = 0
+    for t in tokens:
+        n_new = len(t.get("text", "").split()) if t.get("type") == "text" else 0
+        if cur and words + n_new > max_words:
+            chunks.append(cur)
+            cur, words = [], 0
+        cur.append(t)
+        words += n_new
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def qwen_b_triples(bdd: dict, max_words: int = 100) -> list[dict]:
+    """Stage B triples (x: text+breaks, y: structured full SSML, z:
+    placeholder template), format-identical to the reference's
+    convert_breaks_to_full_ssml (data_formatting_QwenB.py:300-380):
+    break-containing entries only, ~100-word chunks, pretty-printed y/z."""
     triples = []
     for voice, entry in bdd.items():
-        for seg, blocks in entry["y"].get("stripped_ssml", {}).items():
-            y = "\n".join(blocks)
-            if "<break" not in y:
+        parsed = entry["y"].get("parsed_sequence") or []
+        by_seg: dict[str, list[dict]] = {}
+        for tok in parsed:
+            by_seg.setdefault(tok.get("segment", ""), []).append(tok)
+        for seg, tokens in by_seg.items():
+            if not any(t.get("type") == "break" for t in tokens):
                 continue  # break-containing entries only (:322-324)
-            z = _NUM.sub(lambda m: "_" + m.group(2), y)
-            x = re.sub(r"<prosody[^>]*>|</prosody>", "", y)
-            x = re.sub(r'<break time="[^"]*"\s*/>', "<break/>", x).strip()
-            triples.append({"segment": seg, "x": x, "y": y, "z": z})
+            for chunk in _chunk_parsed_tokens(tokens, max_words):
+                x = _format_x_from_parsed(chunk).strip()
+                if not x:
+                    continue
+                triples.append(
+                    {
+                        "segment": seg,
+                        "x": x,
+                        "y": _format_yz_from_parsed(chunk, template=False),
+                        "z": _format_yz_from_parsed(chunk, template=True),
+                    }
+                )
     return triples
 
 

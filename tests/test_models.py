@@ -343,6 +343,45 @@ class TestDatasets:
         assert tri and "_%" in tri[0]["z"] and "_ms" in tri[0]["z"]
         assert "+1.00%" in tri[0]["y"]
 
+    def test_qwen_b_reference_format_exact(self):
+        """y/z byte-identical to the reference's pretty-printed layout
+        (data_formatting_QwenB.py:115-295): 2-space prosody blocks with
+        4-space text lines, break groups on one line, a blank line between
+        a break group and a following prosody, leading space; z always
+        carries all three '_%' placeholders and '<break time=\"_ms\"/>'."""
+        tri = datasets.qwen_b_triples(self._bdd())
+        assert len(tri) == 1
+        t = tri[0]
+        assert t["x"] == "bonjour le monde.<break/>la suite arrive."
+        assert t["y"] == (
+            '   <prosody pitch="+1.00%" rate="-2.00%" volume="+0.50%">\n'
+            "    bonjour le monde.\n"
+            "  </prosody>\n"
+            '  <break time="300ms"/>\n'
+            "\n"
+            '  <prosody pitch="-0.50%" rate="+1.00%" volume="-1.00%">\n'
+            "    la suite arrive.\n"
+            "  </prosody>"
+        )
+        assert t["z"] == (
+            '   <prosody pitch="_%" rate="_%" volume="_%">\n'
+            "    bonjour le monde.\n"
+            "  </prosody>\n"
+            '  <break time="_ms"/>\n'
+            "\n"
+            '  <prosody pitch="_%" rate="_%" volume="_%">\n'
+            "    la suite arrive.\n"
+            "  </prosody>"
+        )
+
+    def test_qwen_b_skips_breakless_segments(self):
+        bdd = self._bdd()
+        bdd["voice1"]["y"]["parsed_sequence"] = [
+            {"segment": "s2", "type": "text", "text": "sans pause.",
+             "prosody": {"pitch": "+0.00%", "rate": "+0.00%", "volume": "+0.00%"}},
+        ]
+        assert datasets.qwen_b_triples(bdd) == []
+
     def test_split(self):
         s = datasets.split_80_10_10(list(range(100)))
         assert len(s["train"]) == 80 and len(s["val"]) == 10 and len(s["test"]) == 10
