@@ -8,8 +8,11 @@ boundary comparison): independent aligners agreeing on the same boundaries,
 and boundaries being consistent with acoustic silence.
 
 Per segment:
-- the packaged Whisper transcribes freely (its honest real-French ASR —
-  WER vs the known transcript is reported, not hidden);
+- the packaged Whisper transcribes freely; if a reference text is supplied,
+  WER against it is reported. NOTE: the bundled corpus ships WITHOUT gold
+  transcripts — callers passing nominal stand-in text get a decode-
+  stability proxy (hallucinating output scores ≈2-4 against any fluent
+  French), not an accuracy measurement;
 - CTC and the energy aligner teacher-force on WHISPER'S transcript, so all
   three produce the same word sequence and boundary deltas compare 1:1;
 - every aligner's word intervals are checked against the acoustic silence

@@ -6,8 +6,11 @@ label-free evidence the harness (eval/real_audio_agreement.py) produces —
 the same framing as the reference's gold harness
 (Code/whisper_testing/splitting.py:130-252):
 
-- the packaged Whisper's honest real-French WER (≈2-4, i.e. it hallucinates
-  heavily out of distribution — recorded, not hidden);
+- the packaged Whisper's real-French decode instability: WER against a
+  NOMINAL French text (no gold transcripts ship with the corpus — the
+  stand-in only anchors the metric; any fluent French reference yields
+  the same ≈2-4 regime against hallucinated output). A stability canary
+  for the free-decode regime, not an accuracy measurement;
 - whisper-DTW boundaries are nonetheless ACOUSTICALLY consistent: ~99 % of
   detected speech is covered by word intervals and <5 % of word mass falls
   in silence;
@@ -27,6 +30,11 @@ from prosody_control_french_tts_tpu.eval.real_audio_agreement import (
 from prosody_control_french_tts_tpu.utils.textgridio import word_tier_with_silences
 from prosody_control_french_tts_tpu.utils.wavio import Audio, read_wav
 
+# NOMINAL reference texts (plausible fluent French of roughly the right
+# length) — NOT transcriptions of the recordings; the corpus ships without
+# gold text. They anchor the WER proxy: a synthetic-trained ASR that
+# hallucinates scores ≈2-4 against ANY fluent reference, and a sudden drop
+# toward 0 would mean the harness stopped free-decoding.
 REFS = {
     "segment_ph2": "bonjour et bienvenue dans cette nouvelle emission consacree a la musique",
     "segment_ph3": "nous allons parler aujourd'hui des grands compositeurs francais du siecle dernier",
