@@ -436,13 +436,21 @@ def bench_llm_train() -> dict:
     else:
         cfg = LLMConfig(vocab_size=512, dim=64, layers=2, heads=4, kv_heads=2, ffn=128, max_len=128, lora_rank=4)
         B, L, iters = 2, 32, 2
-    model, tx, state = init_train(cfg, lr=3e-4, accum=1)
-    from prosody_control_french_tts_tpu.models.lora import lora_param_mask
+    # bf16 frozen base (the reference's torch_dtype, QwenA.py:507) halves
+    # the per-step weight stream; flash attention on the accelerator keeps
+    # the [B,H,L,L] score tensor out of HBM entirely
+    import dataclasses as _dc
 
+    if on_accel:
+        cfg = _dc.replace(cfg, attn_impl="flash")
+    model, tx, state = init_train(
+        cfg, lr=3e-4, accum=1, frozen_dtype=jnp.bfloat16 if on_accel else None
+    )
     # differentiate ONLY the adapters — without the mask the VJP computes
-    # (then zeroes) a wgrad matmul for every frozen base kernel, ~2P of
-    # wasted FLOPs + HBM writes (see make_train_step docstring)
-    step = make_train_step(model, tx, donate=False, trainable=lora_param_mask(state.params))
+    # a wgrad matmul for every frozen base kernel, ~2P of wasted FLOPs +
+    # HBM writes (see make_train_step docstring); donation lets XLA alias
+    # the frozen leaves through the step in place
+    step = make_train_step(model, tx, donate=True, trainable=state.mask)
     rng = np.random.default_rng(0)
     batches = [
         jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, L)), jnp.int32)

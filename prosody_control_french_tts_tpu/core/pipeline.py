@@ -335,7 +335,15 @@ class AudioPipeline:
         out_txt = self.raw_synth_dir / "transcription"
         out_audio.mkdir(parents=True, exist_ok=True)
         out_txt.mkdir(parents=True, exist_ok=True)
-        for wav_path in self._segment_files():
+        from ..prosody.measure import prefetch_corpus, prefetch_segment
+        from ..utils.wavio import wav_info
+
+        seg_files = self._segment_files()
+        try:
+            nat_rate = wav_info(seg_files[0])[1] if seg_files else None
+        except (OSError, ValueError):
+            nat_rate = None
+        for wav_path in seg_files:
             stem = wav_path.stem
             src = self.transcription_raw_dir / f"{stem}.txt"
             if not src.exists():
@@ -349,20 +357,16 @@ class AudioPipeline:
                 f"<voice name='{self.cfg.azure_voice_name}'>{text}</voice></speak>"
             )
             audio = self.tts.synthesize(ssml)
-            write_wav(out_audio / f"{stem}.wav", audio)
+            out_path = out_audio / f"{stem}.wav"
+            write_wav(out_path, audio)
+            # each segment's device upload streams behind the synthesis of
+            # the ones after it — by measure time the corpus is resident
+            prefetch_segment(out_path, rate_expect=nat_rate)
 
-        # start streaming the raw corpus device-ward behind the remaining
-        # host work (must mirror prepare_voice's path/rate arguments so the
-        # prefetch key matches)
-        seg_files = self._segment_files()
+        # assemble the raw corpus batch on device from the per-segment rows
+        # (or start the normal compact upload on a miss; must mirror
+        # prepare_voice's path/rate arguments so the prefetch key matches)
         if seg_files:
-            from ..prosody.measure import prefetch_corpus
-            from ..utils.wavio import wav_info
-
-            try:
-                nat_rate = wav_info(seg_files[0])[1]
-            except (OSError, ValueError):
-                nat_rate = None
             raw_paths = [out_audio / f"{p.stem}.wav" for p in seg_files]
             prefetch_corpus(
                 [p if p.exists() else None for p in raw_paths], rate_expect=nat_rate

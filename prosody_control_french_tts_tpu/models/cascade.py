@@ -87,10 +87,7 @@ def train_stage(
     cfg = cfg or LLMConfig(vocab_size=len(tokenizer), dim=128, layers=2, heads=4, kv_heads=2, ffn=256, max_len=256)
     batch = build_batches(pairs, tokenizer, task, cfg.max_len, x_key, y_key)
     model, tx, state = init_train(cfg, rng=jax.random.PRNGKey(seed), lr=lr, accum=accum)
-    from .lora import lora_param_mask
-
-    trainable = lora_param_mask(state.params) if cfg.lora_rank > 0 else None
-    step = make_train_step(model, tx, donate=False, trainable=trainable)
+    step = make_train_step(model, tx, donate=False, trainable=state.mask)
     params, opt = state.params, state.opt_state
     losses = []
     rng = np.random.default_rng(seed)

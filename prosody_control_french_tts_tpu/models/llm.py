@@ -23,6 +23,7 @@ from functools import partial
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .lora import LoRADense
 
@@ -43,6 +44,11 @@ class LLMConfig:
     # weight-only base-kernel storage: None (float) | "int8" | "nf4"
     # (QwenB.py:100-113 loads the 7B base in NF4; models.quant)
     quant: str | None = None
+    # training-path attention: "dot" (mask+softmax with the [B,H,L,L]
+    # score tensor in HBM) | "flash" (Pallas TPU flash attention — scores
+    # stay in VMEM tiles, fwd AND bwd). "flash" applies only to the pure
+    # causal no-cache shape; decode and padded-mask calls use "dot".
+    attn_impl: str = "dot"
 
     @classmethod
     def tiny(cls, vocab_size: int = 512) -> "LLMConfig":
@@ -115,16 +121,30 @@ class Attention(nn.Module):
         else:
             new_cache = None
 
-        # GQA without materializing repeated K/V: queries fold into
-        # [kv_heads, group] so K/V are read once from HBM — with a cached
-        # decode at S=512 the jnp.repeat formulation streamed group× the
-        # cache bytes every step
         group = c.heads // c.kv_heads
-        qg = q.reshape(B, L, c.kv_heads, group, hd)
-        att = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) / jnp.sqrt(hd).astype(q.dtype)
-        att = jnp.where(mask[:, None, None, :, :], att, jnp.finfo(att.dtype).min)
-        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhgqk,bkhd->bqhgd", att, v).reshape(B, L, c.heads * hd)
+        if mask is None:
+            # pure-causal training shape routed to the Pallas TPU flash
+            # kernel (cfg.attn_impl == "flash"): the [B,H,L,L] scores —
+            # 58 MB × layers × (fwd+bwd) of HBM traffic at the train-bench
+            # geometry — never leave VMEM. K/V repeat to full heads first;
+            # at 29 MB that is far cheaper than one score materialization.
+            from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+            qf = q.transpose(0, 2, 1, 3)  # [B, H, L, D]
+            kf = jnp.repeat(k, group, axis=2).transpose(0, 2, 1, 3)
+            vf = jnp.repeat(v, group, axis=2).transpose(0, 2, 1, 3)
+            out = flash_attention(qf, kf, vf, causal=True, sm_scale=float(1.0 / np.sqrt(hd)))
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, c.heads * hd)
+        else:
+            # GQA without materializing repeated K/V: queries fold into
+            # [kv_heads, group] so K/V are read once from HBM — with a
+            # cached decode at S=512 the jnp.repeat formulation streamed
+            # group× the cache bytes every step
+            qg = q.reshape(B, L, c.kv_heads, group, hd)
+            att = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) / jnp.sqrt(hd).astype(q.dtype)
+            att = jnp.where(mask[:, None, None, :, :], att, jnp.finfo(att.dtype).min)
+            att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhgqk,bkhd->bqhgd", att, v).reshape(B, L, c.heads * hd)
         out = LoRADense(c.dim, c.lora_rank, c.lora_alpha, dtype=c.dtype, quant=c.quant, name="o")(out)
         return out, new_cache
 
@@ -169,10 +189,13 @@ class DecoderLM(nn.Module):
         x = nn.Embed(c.vocab_size, c.dim, dtype=c.dtype, name="embed")(ids)
 
         if kv_caches is None:
-            causal = jnp.tril(jnp.ones((L, L), bool))
-            mask = causal[None, :, :]
-            if attn_mask is not None:
-                mask = mask & attn_mask[:, None, :]
+            if c.attn_impl == "flash" and attn_mask is None:
+                mask = None  # Attention routes mask=None to the flash kernel
+            else:
+                causal = jnp.tril(jnp.ones((L, L), bool))
+                mask = causal[None, :, :]
+                if attn_mask is not None:
+                    mask = mask & attn_mask[:, None, :]
         else:
             kl = kv_caches[0][0].shape[1]
             mask = (jnp.arange(kl)[None, None, :] <= positions[:, :, None])
@@ -204,11 +227,17 @@ def init_kv_caches(cfg: LLMConfig, batch: int, max_len: int):
 
 def causal_lm_loss(logits, ids, loss_mask):
     """Next-token CE with instruction masking (labels = ids shifted; only
-    positions where loss_mask=1 count — QwenA.py:111-113 masks the prompt)."""
-    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    positions where loss_mask=1 count — QwenA.py:111-113 masks the prompt).
+
+    Written as gather − logsumexp rather than log_softmax: identical value,
+    but log_softmax would materialize a second [B, L, V] f32 tensor (537 MB
+    at the train-bench geometry) purely to be gathered from — the dominant
+    avoidable HBM write in the whole train step."""
+    lg = logits[:, :-1]
     tgt = ids[:, 1:]
-    ll = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    m = loss_mask[:, 1:].astype(logp.dtype)
+    picked = jnp.take_along_axis(lg, tgt[..., None], axis=-1)[..., 0]
+    ll = picked - jax.nn.logsumexp(lg, axis=-1)
+    m = loss_mask[:, 1:].astype(ll.dtype)
     return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 

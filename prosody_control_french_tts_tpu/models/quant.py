@@ -97,18 +97,39 @@ def quantize_kernel_nf4(w: np.ndarray, block: int = NF4_BLOCK) -> tuple[np.ndarr
     return packed, scale.astype(np.float32)
 
 
+def _nf4_lookup(codes: jnp.ndarray) -> jnp.ndarray:
+    """Exact 16-entry codebook lookup as a balanced bit-test selection
+    tree (15 elementwise selects) instead of jnp.take: a gather over
+    billions of codes lowers pathologically on the TPU toolchain (the 7B
+    NF4 decode measured 296 ms/step gather-bound vs ~12 ms for int8),
+    while selects fuse into the consuming dot at full VPU rate."""
+    t = NF4_TABLE
+
+    def level(lo: int, hi: int, bit: int):
+        if lo == hi:
+            return jnp.float32(t[lo])
+        mid = (lo + hi + 1) // 2
+        b = (codes >> jnp.uint8(bit)) & jnp.uint8(1)
+        return jnp.where(b == 1, level(mid, hi, bit - 1), level(lo, mid - 1, bit - 1))
+
+    return level(0, 15, 3)
+
+
 def dequant_nf4(
     packed: jnp.ndarray, scale: jnp.ndarray, dtype, block: int = NF4_BLOCK
 ) -> jnp.ndarray:
-    """Jittable: unpack nibbles → codebook lookup → blockwise rescale."""
+    """Jittable: unpack nibbles → codebook lookup → blockwise rescale.
+    The scale multiply broadcasts over a [in/block, block, out] view
+    rather than jnp.repeat (which would materialize a full-kernel f32
+    array — 4 bytes/param of pure HBM traffic on the weight stream)."""
     half, out_f = packed.shape
     in_f = half * 2
     lo = packed & jnp.uint8(0xF)
     hi = (packed >> jnp.uint8(4)) & jnp.uint8(0xF)
     codes = jnp.stack([lo, hi], axis=1).reshape(in_f, out_f)
-    w = jnp.take(jnp.asarray(NF4_TABLE), codes.astype(jnp.int32), axis=0)
-    s = jnp.repeat(scale.astype(jnp.float32), block, axis=0)
-    return (w * s).astype(dtype)
+    w = _nf4_lookup(codes)
+    w = w.reshape(in_f // block, block, out_f) * scale[:, None, :].astype(jnp.float32)
+    return w.reshape(in_f, out_f).astype(dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,9 @@ class TrainState:
     params: dict
     opt_state: object
     step: int = 0
+    # bool pytree marking the trainable leaves the optimizer state covers;
+    # pass it as make_train_step(trainable=state.mask)
+    mask: dict | None = None
 
 
 def make_optimizer(lr: float = 3e-4, weight_decay: float = 0.0, accum: int = 1):
@@ -38,38 +41,75 @@ def make_optimizer(lr: float = 3e-4, weight_decay: float = 0.0, accum: int = 1):
     return tx
 
 
+def _trainable_indices(flat, trainable_flat):
+    """Indices of leaves that are float AND marked trainable (None → all
+    float leaves). Integer leaves (quantized base kernels, models.quant)
+    always ride along as constants."""
+    return [
+        i
+        for i, x in enumerate(flat)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        and (trainable_flat is None or trainable_flat[i])
+    ]
+
+
 def init_train(
-    cfg: LLMConfig, rng=None, lr: float = 3e-4, accum: int = 1, lora_only: bool = True
+    cfg: LLMConfig,
+    rng=None,
+    lr: float = 3e-4,
+    accum: int = 1,
+    lora_only: bool = True,
+    frozen_dtype=None,
 ):
+    """Build (model, tx, TrainState). The optimizer state covers ONLY the
+    trainable float leaves (the LoRA adapters when ``lora_only``): adamw
+    moments for 130M frozen base params would be pure HBM dead weight.
+    ``frozen_dtype`` (e.g. jnp.bfloat16) downcasts the frozen float base —
+    the reference loads its base in bf16 too (QwenA.py:507
+    torch_dtype=bfloat16) — halving the per-step weight-stream bytes.
+    The trainable mask ships in ``state.mask``; hand it to
+    make_train_step(trainable=state.mask)."""
     model = DecoderLM(cfg)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     params = model.init(rng, jnp.zeros((1, 8), jnp.int32))
-    base_tx = make_optimizer(lr, accum=accum)
-    if lora_only and cfg.lora_rank > 0:
-        # freeze base weights: adapters get adamw, everything else zero
-        # updates (optax.masked would pass raw grads through for the
-        # unmasked leaves)
-        mask = lora_param_mask(params)
-        labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
-        tx = optax.multi_transform(
-            {"train": base_tx, "freeze": optax.set_to_zero()}, labels
+    mask = (
+        lora_param_mask(params)
+        if (lora_only and cfg.lora_rank > 0)
+        else jax.tree.map(lambda x: jnp.issubdtype(x.dtype, jnp.floating), params)
+    )
+    if frozen_dtype is not None:
+        params = jax.tree.map(
+            lambda x, m: x
+            if (m or not jnp.issubdtype(x.dtype, jnp.floating))
+            else x.astype(frozen_dtype),
+            params,
+            mask,
         )
-    else:
-        tx = base_tx
-    opt_state = tx.init(params)
-    return model, tx, TrainState(params=params, opt_state=opt_state)
+    tx = make_optimizer(lr, accum=accum)
+    flat, _ = jax.tree_util.tree_flatten(params)
+    mask_flat = jax.tree_util.tree_flatten(mask)[0]
+    fidx = _trainable_indices(flat, mask_flat)
+    opt_state = tx.init(tuple(flat[i] for i in fidx))
+    return model, tx, TrainState(params=params, opt_state=opt_state, mask=mask)
 
 
 def make_train_step(model: DecoderLM, tx, donate: bool = True, trainable: dict | None = None):
     """One fused fwd+bwd+update program.
 
-    ``trainable`` (a bool pytree like ``lora_param_mask(params)``) restricts
-    differentiation to those leaves. This is not just bookkeeping: without
-    it the VJP emits a weight-gradient matmul for EVERY frozen base kernel
-    (embedding, lm-head, all attention/ffn projections) whose result the
-    optimizer then multiplies by zero — ~2P of the 6P fwd+bwd FLOPs and the
-    matching HBM write traffic, entirely wasted in the LoRA/QLoRA shape
-    (the reference freezes the base the same way, QwenA.py:502-537).
+    ``trainable`` (a bool pytree like ``lora_param_mask(params)``, i.e.
+    ``state.mask`` from init_train) restricts differentiation AND the
+    optimizer to those leaves. This is not just bookkeeping: without it
+    the VJP emits a weight-gradient matmul for EVERY frozen base kernel
+    (embedding, lm-head, all attention/ffn projections) — ~2P of the 6P
+    fwd+bwd FLOPs wasted in the LoRA/QLoRA shape (the reference freezes
+    the base the same way, QwenA.py:502-537). Frozen leaves never see a
+    zeros-like gradient or an add-zero update either: they pass through
+    the step as the SAME buffers, so with donation XLA aliases them
+    in-place — zero HBM traffic for ~99.9 % of the parameter bytes.
+
+    The optimizer state must have been init'ed over the same leaf subset
+    (init_train does this; its tx is a plain adamw over the tuple of
+    trainable leaves).
 
     Multi-chip usage is computation-follows-data: shard ``params`` with
     ``shard_train_inputs`` (TP policy + batch over "data") before calling;
@@ -80,18 +120,8 @@ def make_train_step(model: DecoderLM, tx, donate: bool = True, trainable: dict |
     )
 
     def step_fn(params, opt_state, ids, loss_mask):
-        # Differentiate only float leaves: a quantized base (models.quant)
-        # stores int8/uint8 kernels in the tree, and jax.grad rejects
-        # integer inputs — the QLoRA shape is "quantized base frozen,
-        # float adapters trained", so integer leaves ride along as
-        # constants with zero updates.
         flat, treedef = jax.tree_util.tree_flatten(params)
-        fidx = [
-            i
-            for i, x in enumerate(flat)
-            if jnp.issubdtype(x.dtype, jnp.floating)
-            and (trainable_flat is None or trainable_flat[i])
-        ]
+        fidx = _trainable_indices(flat, trainable_flat)
 
         def loss_fn(fvals):
             merged = list(flat)
@@ -100,13 +130,14 @@ def make_train_step(model: DecoderLM, tx, donate: bool = True, trainable: dict |
             logits = model.apply(jax.tree_util.tree_unflatten(treedef, merged), ids)
             return causal_lm_loss(logits, ids, loss_mask)
 
-        loss, fgrads = jax.value_and_grad(loss_fn)(tuple(flat[i] for i in fidx))
-        gflat = [jnp.zeros_like(x) for x in flat]
-        for i, g in zip(fidx, fgrads):
-            gflat[i] = g
-        grads = jax.tree_util.tree_unflatten(treedef, gflat)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        fvals = tuple(flat[i] for i in fidx)
+        loss, fgrads = jax.value_and_grad(loss_fn)(fvals)
+        updates, opt_state = tx.update(fgrads, opt_state, fvals)
+        new_fvals = optax.apply_updates(fvals, updates)
+        merged = list(flat)
+        for i, v in zip(fidx, new_fvals):
+            merged[i] = v
+        params = jax.tree_util.tree_unflatten(treedef, merged)
         return params, opt_state, loss
 
     return jax.jit(step_fn, donate_argnums=(0, 1) if donate else ())

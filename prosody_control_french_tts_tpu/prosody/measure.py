@@ -401,17 +401,97 @@ def _corpus_key(paths, rate_expect):
     return (tuple(items), int(rate_expect or 0))
 
 
+# per-SEGMENT device rows, uploaded one at a time as synthesis loops write
+# each wav: the whole-corpus prefetch can only start after the LAST file
+# exists, which on the raw-synthesis→measure edge leaves the entire upload
+# on measure's critical path (measured as 96 % of the measure step in the
+# round-3 e2e breakdown). Keyed like _PREFETCH by (path, mtime, size, rate);
+# values are (n_samples, bucketed 1-D int16 device row).
+_SEG_PREFETCH: dict = {}
+_SEG_PREFETCH_CAP = 64
+
+
+def prefetch_segment(path, rate_expect=None) -> None:
+    """Begin the async device upload of ONE wav's samples. Call from a
+    synthesis loop right after each file is written: the transfer streams
+    behind the synthesis of the remaining segments, and prefetch_corpus
+    then assembles the padded corpus batch ON DEVICE from the resident
+    rows — no h2d bytes left on the measure critical path.
+
+    int16-lossless mono PCM only (the synthesis output format); anything
+    else silently skips — the corpus falls back to the normal compact
+    streaming upload."""
+    try:
+        from ..utils.native_audio import available, load_batch_i16
+        from ..utils.wavio import wav_info
+
+        if not available():
+            return
+        key = _corpus_key([path], rate_expect)
+        if key in _SEG_PREFETCH:
+            return
+        frames, file_rate = wav_info(path)
+        target = int(rate_expect or file_rate)
+        if not target or file_rate != target:
+            return  # resampling is a float path; not losslessly assemblable
+        res = load_batch_i16([path], stride=bucket_length(frames), target_rate=target)
+        if res is None:
+            return
+        row, lens, _ = res
+        while len(_SEG_PREFETCH) >= _SEG_PREFETCH_CAP:
+            _SEG_PREFETCH.pop(next(iter(_SEG_PREFETCH)))
+        _SEG_PREFETCH[key] = (int(lens[0]), jax.device_put(row[0]))
+    except Exception:  # noqa: BLE001 — prefetch is speculative, never fatal
+        log.debug("segment prefetch failed; corpus path will upload", exc_info=True)
+
+
+@partial(jax.jit, static_argnames=("t",))
+def _stack_rows(rows, t: int):
+    """tuple of 1-D bucketed device rows → [S, t] padded batch (each row
+    zero past its real length already — the native loader zero-fills to
+    its stride, and buckets only ever grow toward t)."""
+    return jnp.stack([jnp.pad(r, (0, t - r.shape[0])) for r in rows])
+
+
+def _assemble_from_segments(paths, host, rate_expect):
+    """[S, T] device corpus from per-segment resident rows (zero h2d).
+    Returns None unless every row was prefetched by prefetch_segment AND
+    bit-compatibility with the host load is provable: same int16 dtype and
+    per-row lengths (same loader, same target rate → same bytes)."""
+    from ..parallel.mesh import production_data_mesh
+
+    if production_data_mesh() is not None:
+        return None  # sharded uploads take the _corpus_to_device path
+    batch, lens, _rate, _ok = host
+    if batch.dtype != np.int16:
+        return None
+    rows = []
+    for p, n in zip(paths, lens):
+        hit = _SEG_PREFETCH.get(_corpus_key([p], rate_expect))
+        if hit is None or hit[0] != int(n) or hit[1].dtype != jnp.int16:
+            return None
+        rows.append(hit[1])
+    T = batch.shape[1]
+    if any(r.shape[0] > T for r in rows):
+        return None
+    return _stack_rows(tuple(rows), T)
+
+
 def prefetch_corpus(paths, rate_expect=None) -> None:
     """Load a wav corpus and begin its (async) device transfer; no-op on
     repeat calls for unchanged files. Safe to call speculatively — a miss
-    at measure time just means the normal synchronous upload."""
+    at measure time just means the normal synchronous upload. When every
+    segment is already device-resident (prefetch_segment), the padded
+    batch is assembled on device instead of re-uploaded."""
     paths = list(paths)
     try:
         key = _corpus_key(paths, rate_expect)
         if key in _PREFETCH:
             return
         host = _load_padded(paths, rate_expect=rate_expect)
-        dev = _corpus_to_device([host[0]], lens=[host[1]])[0]
+        dev = _assemble_from_segments(paths, host, rate_expect)
+        if dev is None:
+            dev = _corpus_to_device([host[0]], lens=[host[1]])[0]
         while len(_PREFETCH) >= _PREFETCH_CAP:
             _PREFETCH.pop(next(iter(_PREFETCH)))
         _PREFETCH[key] = (host, dev)

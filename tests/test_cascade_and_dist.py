@@ -198,7 +198,7 @@ class TestDistributed:
         mesh = hybrid_mesh(model=2)
         cfg = LLMConfig(vocab_size=128, dim=32, layers=1, heads=4, kv_heads=2, ffn=64, max_len=32, lora_rank=2)
         model, tx, state = init_train(cfg, lr=1e-3)
-        step = make_train_step(model, tx, donate=False)
+        step = make_train_step(model, tx, donate=False, trainable=state.mask)
         pspec = llm_param_spec(state.params)
         params = jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state.params, pspec

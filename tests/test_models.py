@@ -214,7 +214,7 @@ class TestLLM:
         mask = lora_param_mask(state.params)
         n_lora = sum(bool(m) for m in jax.tree.leaves(mask))
         assert n_lora == cfg.layers * 7 * 2  # q,k,v,o,gate,up,down × (A,B)
-        step = make_train_step(model, tx, donate=False)
+        step = make_train_step(model, tx, donate=False, trainable=state.mask)
         rng = np.random.default_rng(0)
         ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 16)), jnp.int32)
         lm = jnp.ones_like(ids, jnp.float32)

@@ -136,7 +136,7 @@ class TestQLoRATraining:
         # the init tree must carry quantized storage for every projection
         attn = state.params["params"]["layer_0"]["attn"]["q"]
         assert "kernel_q" in attn and "kernel" not in attn
-        step = make_train_step(model, tx, donate=False)
+        step = make_train_step(model, tx, donate=False, trainable=state.mask)
         lm = jnp.ones_like(ids, jnp.float32)
         p1, opt1, loss1 = step(state.params, state.opt_state, ids, lm)
         _, _, loss2 = step(p1, opt1, ids, lm)

@@ -233,3 +233,77 @@ class TestPrefetchShapeValidation:
         pre = jnp.full((4, 8), 7.0)
         out = _corpus_to_device([host], pre=[pre])[0]
         np.testing.assert_array_equal(np.asarray(out), np.full((4, 8), 7.0))
+
+
+class TestSegmentPrefetchAssembly:
+    """Per-segment streaming prefetch (prosody.measure.prefetch_segment):
+    rows uploaded one-by-one during synthesis must assemble on device into
+    a batch BIT-IDENTICAL to the compact whole-corpus upload, and any
+    staleness (rewritten file) must fall back to the upload path."""
+
+    @pytest.fixture()
+    def corpus(self, tmp_path):
+        from prosody_control_french_tts_tpu.utils.native_audio import available
+        from prosody_control_french_tts_tpu.utils.wavio import Audio, write_wav
+
+        if not available():
+            pytest.skip("native audio loader unavailable")
+        rng = np.random.default_rng(7)
+        paths = []
+        for i, n in enumerate((1600, 2400, 900)):
+            a = (rng.integers(-3000, 3000, n).astype(np.float32)) / 32768.0
+            p = tmp_path / f"seg{i}.wav"
+            write_wav(p, Audio(a, 16000))
+            paths.append(p)
+        return paths
+
+    def test_assembled_batch_bit_identical(self, corpus):
+        from prosody_control_french_tts_tpu.prosody import measure as M
+
+        M._SEG_PREFETCH.clear()
+        for p in corpus:
+            M.prefetch_segment(p, rate_expect=16000)
+        assert len(M._SEG_PREFETCH) == len(corpus)
+        host = M._load_padded(corpus, rate_expect=16000)
+        dev = M._assemble_from_segments(corpus, host, 16000)
+        assert dev is not None and dev.dtype == np.int16
+        np.testing.assert_array_equal(np.asarray(dev), host[0])
+
+    def test_prefetch_corpus_uses_assembly(self, corpus, monkeypatch):
+        from prosody_control_french_tts_tpu.prosody import measure as M
+
+        M._SEG_PREFETCH.clear()
+        M._PREFETCH.clear()
+        for p in corpus:
+            M.prefetch_segment(p, rate_expect=16000)
+        calls = []
+        orig = M._corpus_to_device
+        monkeypatch.setattr(
+            M, "_corpus_to_device", lambda *a, **k: calls.append(1) or orig(*a, **k)
+        )
+        M.prefetch_corpus(corpus, rate_expect=16000)
+        assert not calls, "assembly path should not re-upload the corpus"
+        (hostb, lens, rate, ok), dev = next(iter(M._PREFETCH.values()))
+        np.testing.assert_array_equal(np.asarray(dev), hostb)
+
+    def test_rewritten_file_falls_back(self, corpus):
+        from prosody_control_french_tts_tpu.prosody import measure as M
+        from prosody_control_french_tts_tpu.utils.wavio import Audio, write_wav
+
+        M._SEG_PREFETCH.clear()
+        for p in corpus:
+            M.prefetch_segment(p, rate_expect=16000)
+        # rewrite one file (different content AND length -> new key)
+        write_wav(corpus[1], Audio(np.zeros(500, np.float32), 16000))
+        host = M._load_padded(corpus, rate_expect=16000)
+        assert M._assemble_from_segments(corpus, host, 16000) is None
+
+    def test_float_corpus_falls_back(self, corpus, tmp_path):
+        from prosody_control_french_tts_tpu.prosody import measure as M
+
+        M._SEG_PREFETCH.clear()
+        for p in corpus:
+            M.prefetch_segment(p, rate_expect=16000)
+        host = M._load_padded(corpus, rate_expect=16000)
+        fhost = (M.pcm.i16_to_f32_np(host[0]) if hasattr(M.pcm, "i16_to_f32_np") else host[0].astype(np.float32) / 32768.0,) + host[1:]
+        assert M._assemble_from_segments(corpus, fhost, 16000) is None
