@@ -526,7 +526,12 @@ def bench_llm_decode_7b_quant(mode: str = "int8", batch: int = 8, new: int = 32)
 
     The tree is generated directly in quantized storage (random int8 codes
     + unit scales, bf16 embeddings) via eval_shape — no 28 GB float pass.
-    Reports tokens/sec, weight-stream HBM fraction, and MFU."""
+    Reports tokens/sec, weight-stream HBM fraction, and MFU.
+
+    mode: "int8" (per-channel) | "nf4" (native 4-bit stream — measured
+    VPU-bound at 27 tok/s, kept as the memory-floor datapoint) |
+    "nf4serve" (NF4 checkpoint recoded to blockwise int8 at load —
+    quant.recode_params_nf4_serving; the production serving config)."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -534,7 +539,8 @@ def bench_llm_decode_7b_quant(mode: str = "int8", batch: int = 8, new: int = 32)
 
     from prosody_control_french_tts_tpu.models.llm import DecoderLM, LLMConfig, greedy_generate
 
-    cfg = dataclasses.replace(LLMConfig.qwen25_7b(), quant=mode, max_len=160)
+    storage = {"nf4serve": "int8b"}.get(mode, mode)
+    cfg = dataclasses.replace(LLMConfig.qwen25_7b(), quant=storage, max_len=160)
     model = DecoderLM(cfg)
     rng = np.random.default_rng(0)
     ids0 = jnp.zeros((batch, 8), jnp.int32)
@@ -567,7 +573,8 @@ def bench_llm_decode_7b_quant(mode: str = "int8", batch: int = 8, new: int = 32)
     hd = cfg.head_dim
     per_layer = cfg.dim * cfg.heads * hd + 2 * cfg.dim * cfg.kv_heads * hd + cfg.heads * hd * cfg.dim + 3 * cfg.dim * cfg.ffn
     matmul_params = cfg.layers * per_layer + cfg.dim * cfg.vocab_size
-    wbytes = matmul_params * (1 if mode == "int8" else 0.5)
+    # streamed bytes per token: codes + (blockwise) scales
+    wbytes = matmul_params * {"int8": 1.0, "nf4serve": 1.0 + 4 / 64, "nf4": 0.5 + 4 / 64}[mode]
     return {
         "llm7b_quant_mode": mode,
         "llm7b_decode_tokens_per_sec": round(tps, 1),

@@ -41,8 +41,10 @@ class LLMConfig:
     lora_rank: int = 8  # QwenA.py:183
     lora_alpha: float = 16.0
     dtype: jnp.dtype = jnp.bfloat16
-    # weight-only base-kernel storage: None (float) | "int8" | "nf4"
-    # (QwenB.py:100-113 loads the 7B base in NF4; models.quant)
+    # weight-only base-kernel storage: None (float) | "int8" (per-channel)
+    # | "nf4" (4-bit blockwise, the checkpoint/train format) | "int8b"
+    # (blockwise int8 — NF4 recoded for serving, quant.recode_params_
+    # nf4_serving). QwenB.py:100-113 loads the 7B base in NF4; models.quant
     quant: str | None = None
     # training-path attention: "dot" (mask+softmax with the [B,H,L,L]
     # score tensor in HBM) | "flash" (Pallas TPU flash attention — scores
@@ -189,7 +191,9 @@ class DecoderLM(nn.Module):
         x = nn.Embed(c.vocab_size, c.dim, dtype=c.dtype, name="embed")(ids)
 
         if kv_caches is None:
-            if c.attn_impl == "flash" and attn_mask is None:
+            # flash kernel blocks are 128-wide; short shapes (e.g. the [1,8]
+            # init trace) take the dot path
+            if c.attn_impl == "flash" and attn_mask is None and L >= 128 and L % 128 == 0:
                 mask = None  # Attention routes mask=None to the flash kernel
             else:
                 causal = jnp.tril(jnp.ones((L, L), bool))

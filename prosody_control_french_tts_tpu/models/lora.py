@@ -33,13 +33,24 @@ class LoRADense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from .quant import NF4_BLOCK, dequant_int8, dequant_nf4
+        from .quant import NF4_BLOCK, dequant_int8, dequant_int8_block, dequant_nf4
 
         in_f = x.shape[-1]
         if self.quant == "int8":
             q = self.param("kernel_q", nn.initializers.zeros, (in_f, self.features), jnp.int8)
             s = self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
             kernel_c = dequant_int8(q, s, self.dtype)
+        elif self.quant == "int8b":
+            # blockwise int8 — the NF4 serving layout (quant.recode_nf4_to_
+            # int8_block): streams at the int8 rate, carries NF4 levels
+            q = self.param("kernel_q", nn.initializers.zeros, (in_f, self.features), jnp.int8)
+            s = self.param(
+                "kernel_scale",
+                nn.initializers.ones,
+                (in_f // NF4_BLOCK, self.features),
+                jnp.float32,
+            )
+            kernel_c = dequant_int8_block(q, s, self.dtype)
         elif self.quant == "nf4":
             q = self.param(
                 "kernel_q", nn.initializers.zeros, (in_f // 2, self.features), jnp.uint8

@@ -75,8 +75,19 @@ def dequant_int8(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# NF4: blockwise absmax codebook, packed two codes per byte
+# int8b: blockwise int8 — the NF4 *serving* layout
 # ---------------------------------------------------------------------------
+
+
+def dequant_int8_block(
+    q: jnp.ndarray, scale: jnp.ndarray, dtype, block: int = NF4_BLOCK
+) -> jnp.ndarray:
+    """Jittable blockwise dequant: int8 [in, out] × f32 scale [in/block, out]
+    → dtype [in, out]. One convert + one broadcast multiply per element —
+    the same weight-stream cost as the per-channel int8 path."""
+    in_f, out_f = q.shape
+    w = q.astype(jnp.float32).reshape(in_f // block, block, out_f) * scale[:, None, :]
+    return w.reshape(in_f, out_f).astype(dtype)
 
 
 def quantize_kernel_nf4(w: np.ndarray, block: int = NF4_BLOCK) -> tuple[np.ndarray, np.ndarray]:
@@ -132,6 +143,55 @@ def dequant_nf4(
     return w.reshape(in_f, out_f).astype(dtype)
 
 
+# NF4 levels on the int8 grid (|round(t*127) - t*127| ≤ 0.5 → value error
+# ≤ 0.5/127 ≈ 0.4 % of block absmax, far inside NF4's own ~3 % step size)
+NF4_INT8_TABLE = np.rint(NF4_TABLE * 127.0).astype(np.int8)
+
+
+def recode_nf4_to_int8_block(
+    packed: np.ndarray, scale: np.ndarray, block: int = NF4_BLOCK
+) -> tuple[np.ndarray, np.ndarray]:
+    """One-time load recode of an NF4 kernel into the int8b serving layout.
+
+    Rationale (measured on the v5e, round 4): streaming NF4 natively means
+    a 16-entry codebook lookup per weight per token. A gather lowers
+    pathologically (296 ms/step on the 7B), and the exact 15-select tree is
+    VPU-bound at ~37 ms/step (27 tok/s) — the VPU, not HBM, becomes the
+    decode bottleneck, while the int8 stream runs at 0.74 of HBM peak
+    (685 tok/s). Mapping the 16 NF4 levels onto the int8 grid once at load
+    (host-side, per-kernel) buys back the int8 stream rate for a 2× memory
+    cost (7.6 GB vs 3.8 GB on the 7B — both fit the 16 GB chip) and a
+    bounded ≤0.4 %-of-absmax representation error. Serving parity with the
+    reference's NF4 bitsandbytes deploy (QwenB.py:100-113) is therefore:
+    NF4 on disk / int8b on the wire."""
+    packed = np.asarray(packed)
+    scale = np.asarray(scale, np.float32)
+    half, out_f = packed.shape
+    lo = packed & np.uint8(0xF)
+    hi = packed >> np.uint8(4)
+    codes = np.stack([lo, hi], axis=1).reshape(half * 2, out_f)
+    return NF4_INT8_TABLE[codes], scale / 127.0
+
+
+def recode_params_nf4_serving(params, block: int = NF4_BLOCK):
+    """Walk a quantized tree converting every NF4 kernel (uint8 packed
+    kernel_q) to the int8b serving layout; int8/float leaves pass through.
+    Use with ``LLMConfig(quant="int8b")``."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel_q" in node and np.asarray(node["kernel_q"]).dtype == np.uint8:
+                out = {k: v for k, v in node.items() if k not in ("kernel_q", "kernel_scale")}
+                q, s = recode_nf4_to_int8_block(node["kernel_q"], node["kernel_scale"], block)
+                out["kernel_q"] = jnp.asarray(q)
+                out["kernel_scale"] = jnp.asarray(s)
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
 # ---------------------------------------------------------------------------
 # tree conversion
 # ---------------------------------------------------------------------------
@@ -175,7 +235,10 @@ def dequantize_params(params, block: int = NF4_BLOCK):
                 out = {k: v for k, v in node.items() if k not in ("kernel_q", "kernel_scale")}
                 q, s = node["kernel_q"], node["kernel_scale"]
                 if np.asarray(q).dtype == np.int8:
-                    w = dequant_int8(jnp.asarray(q), jnp.asarray(s), jnp.float32)
+                    if np.asarray(s).ndim == 2:  # int8b blockwise serving layout
+                        w = dequant_int8_block(jnp.asarray(q), jnp.asarray(s), jnp.float32, block)
+                    else:
+                        w = dequant_int8(jnp.asarray(q), jnp.asarray(s), jnp.float32)
                 else:
                     w = dequant_nf4(jnp.asarray(q), jnp.asarray(s), jnp.float32, block)
                 out["kernel"] = w

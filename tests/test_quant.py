@@ -58,6 +58,25 @@ class TestKernels:
         with pytest.raises(ValueError):
             quantize_kernel_nf4(np.zeros((100, 8), np.float32))
 
+    def test_nf4_serving_recode_bound(self):
+        """int8b serving layout (recode_nf4_to_int8_block) reproduces the
+        NF4 dequant within the analytic bound 0.5/127 of block absmax —
+        the one-time precision cost of buying the int8 stream rate."""
+        from prosody_control_french_tts_tpu.models.quant import (
+            dequant_int8_block,
+            recode_nf4_to_int8_block,
+        )
+
+        w = np.random.default_rng(3).normal(size=(256, 48)).astype(np.float32)
+        p, s = quantize_kernel_nf4(w)
+        q8, s8 = recode_nf4_to_int8_block(p, s)
+        assert q8.dtype == np.int8 and q8.shape == (256, 48)
+        assert s8.shape == s.shape
+        exact = np.asarray(dequant_nf4(jnp.asarray(p), jnp.asarray(s), jnp.float32))
+        served = np.asarray(dequant_int8_block(jnp.asarray(q8), jnp.asarray(s8), jnp.float32))
+        bound = np.repeat(s, NF4_BLOCK, axis=0) * (0.5 / 127.0)
+        assert np.all(np.abs(served - exact) <= bound + 1e-8)
+
 
 class TestModelParity:
     def test_quantized_forward_exact_vs_dequantized(self, tiny_setup):
@@ -110,6 +129,32 @@ class TestModelParity:
             # projection storage (kernel_q + kernel_scale vs f32 kernel):
             # int8 ≈ 4×, NF4 ≈ 8× minus scale overhead
             assert kernel_bytes(qp) < fb / shrink, f"{mode}: {kernel_bytes(qp)} vs {fb}"
+
+    def test_nf4_serving_model_parity(self, tiny_setup):
+        """End-to-end: an NF4 tree recoded for serving (quant="int8b")
+        produces logits within the propagated recode bound of the native
+        NF4 model, and dequantize_params understands the int8b layout."""
+        from prosody_control_french_tts_tpu.models.quant import (
+            dequantize_params,
+            recode_params_nf4_serving,
+        )
+
+        cfg, _, ids, _ = tiny_setup
+        cfg32 = dataclasses.replace(cfg, dtype=jnp.float32)
+        params = DecoderLM(cfg32).init(jax.random.PRNGKey(0), ids)
+        nf4 = quantize_params(params, "nf4")
+        served = recode_params_nf4_serving(nf4)
+        out_nf4 = np.asarray(DecoderLM(dataclasses.replace(cfg32, quant="nf4")).apply(nf4, ids))
+        out_srv = np.asarray(DecoderLM(dataclasses.replace(cfg32, quant="int8b")).apply(served, ids))
+        scale = np.abs(out_nf4).max()
+        # recode error is ≤0.4 % of block absmax per weight — an int8-grid
+        # perturbation, so the random-init amplification envelope matches
+        # the int8 drift test's 6e-2 (observed ~2.6e-2 at this geometry)
+        assert np.abs(out_srv - out_nf4).max() / scale < 6e-2
+        # exact contract: int8b in-program dequant == float model on the
+        # host-dequantized int8b tree
+        out_f = np.asarray(DecoderLM(cfg32).apply(dequantize_params(served), ids))
+        np.testing.assert_allclose(out_srv, out_f, rtol=1e-5, atol=1e-5)
 
     def test_greedy_generate_quantized(self, tiny_setup):
         cfg, model, ids, params = tiny_setup
