@@ -391,8 +391,10 @@ def bench_llm_decode() -> float:
         cfg = LLMConfig(vocab_size=32768, dim=896, layers=12, heads=14, kv_heads=2, ffn=2432, max_len=512, lora_rank=8)
         # decode is latency-bound per step; batch amortizes it (batched
         # SSML tagging is the production shape — fewshot/model.py fans out
-        # 1000 samples)
-        B, P, NEW = 64, 64, 64
+        # 1000 samples). NEW=256 matches SSML output lengths and keeps the
+        # ~30 ms tunnel launch floor under 2 % of the call (at NEW=64 the
+        # floor alone was ~27 % of the measured time)
+        B, P, NEW = 64, 64, 256
     else:
         cfg = LLMConfig(vocab_size=512, dim=64, layers=2, heads=4, kv_heads=2, ffn=128, max_len=128, lora_rank=4)
         B, P, NEW = 2, 8, 8

@@ -50,7 +50,17 @@ class LLMConfig:
     # score tensor in HBM) | "flash" (Pallas TPU flash attention — scores
     # stay in VMEM tiles, fwd AND bwd). "flash" applies only to the pure
     # causal no-cache shape; decode and padded-mask calls use "dot".
+    # Measured on v5e at the train-bench geometry (B8 L512 d896):
+    # dot 33.6 ms/step vs flash 58.9 — the upstream flash bwd loses at
+    # this small head_dim/L; keep "dot" unless L is long.
     attn_impl: str = "dot"
+    # rematerialize each decoder layer in the backward pass: activations
+    # (incl. the [B,H,L,L] scores) are recomputed instead of stored.
+    # Measured on v5e at B8/16/32 L512 d896: remat LOSES throughput
+    # (MFU 0.289/0.267/0.266 vs 0.349/0.336/0.332 without) — the step is
+    # already HBM-bound and recompute re-reads the same weights. Keep
+    # False for speed; the flag exists for memory-limited long-L shapes.
+    remat: bool = False
 
     @classmethod
     def tiny(cls, vocab_size: int = 512) -> "LLMConfig":
@@ -205,11 +215,14 @@ class DecoderLM(nn.Module):
             mask = (jnp.arange(kl)[None, None, :] <= positions[:, :, None])
 
         new_caches = []
+        layer_cls = DecoderLayer
+        if c.remat and kv_caches is None:
+            layer_cls = nn.remat(DecoderLayer, static_argnums=())
         for i in range(c.layers):
             cache = None
             if kv_caches is not None:
                 cache = (kv_caches[i][0], kv_caches[i][1], cache_pos)
-            x, nc = DecoderLayer(c, name=f"layer_{i}")(x, positions, mask, cache)
+            x, nc = layer_cls(c, name=f"layer_{i}")(x, positions, mask, cache)
             new_caches.append(nc)
         x = RMSNorm(name="ln_f")(x)
         logits = nn.Dense(c.vocab_size, use_bias=False, dtype=jnp.float32, name="lm_head")(
@@ -364,9 +377,12 @@ def _fused_rmsnorm(x, scale, eps=1e-6):
     return (x * jax.lax.rsqrt(var + eps).astype(x.dtype)) * scale
 
 
-def _fused_forward(fp, cfg: LLMConfig, ids, positions, caches, cache_pos):
+def _fused_forward(fp, cfg: LLMConfig, ids, positions, caches, cache_pos, last_only=False):
     """One fused-kernel forward over [B, L] ids with KV caches.
-    Returns (logits[B, L, V] float32, new_caches)."""
+    Returns (logits[B, L, V] float32, new_caches). With last_only, the
+    LM head runs on the final position only ([B, 1, V]) — greedy decoding
+    discards every other row, and at the bench prefill (P=64, V=32k) the
+    full head is ~60× the FLOPs of the one row actually used."""
     hd = cfg.head_dim
     nq, nkv = cfg.heads * hd, cfg.kv_heads * hd
     B, L = ids.shape
@@ -396,6 +412,8 @@ def _fused_forward(fp, cfg: LLMConfig, ids, positions, caches, cache_pos):
         gu = h @ lw["wgu"]
         g, u = gu[..., : cfg.ffn], gu[..., cfg.ffn :]
         x = x + (jax.nn.silu(g) * u) @ lw["wdown"]
+    if last_only:
+        x = x[:, -1:]
     x = _fused_rmsnorm(x, fp["ln_f"])
     logits = (x @ fp["lm_head"]).astype(jnp.float32)
     return logits, new_caches
@@ -410,7 +428,7 @@ def _greedy_fused_impl(fp, cfg: LLMConfig, prompt_ids, max_new: int, eos_id: int
         caches = [(k.astype(fp["embed"].dtype), v.astype(fp["embed"].dtype)) for k, v in caches]
 
     positions = jnp.broadcast_to(jnp.arange(P), (B, P))
-    logits, caches = _fused_forward(fp, cfg, prompt_ids, positions, caches, 0)
+    logits, caches = _fused_forward(fp, cfg, prompt_ids, positions, caches, 0, last_only=True)
     last = jnp.argmax(logits[:, -1], axis=-1)
     tokens = jnp.zeros((B, total), jnp.int32)
     tokens = tokens.at[:, :P].set(prompt_ids).at[:, P].set(last)
