@@ -439,12 +439,14 @@ def bench_llm_train() -> dict:
         cfg = LLMConfig(vocab_size=512, dim=64, layers=2, heads=4, kv_heads=2, ffn=128, max_len=128, lora_rank=4)
         B, L, iters = 2, 32, 2
     # bf16 frozen base (the reference's torch_dtype, QwenA.py:507) halves
-    # the per-step weight stream; flash attention on the accelerator keeps
-    # the [B,H,L,L] score tensor out of HBM entirely
+    # the per-step weight stream; the VMEM attention kernel keeps the
+    # [B,H,L,L] score tensor out of HBM entirely (the upstream Pallas
+    # flash kernel measured SLOWER than dot at this geometry — 58.9 vs
+    # 33.6 ms/step on v5e; ops/vmem_attn holds whole rows instead)
     import dataclasses as _dc
 
     if on_accel:
-        cfg = _dc.replace(cfg, attn_impl="flash")
+        cfg = _dc.replace(cfg, attn_impl="vmem")
     model, tx, state = init_train(
         cfg, lr=3e-4, accum=1, frozen_dtype=jnp.bfloat16 if on_accel else None
     )

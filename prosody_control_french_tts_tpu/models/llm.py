@@ -134,7 +134,18 @@ class Attention(nn.Module):
             new_cache = None
 
         group = c.heads // c.kv_heads
-        if mask is None:
+        if mask is None and c.attn_impl == "vmem":
+            # pure-causal training shape, short L: whole-row scores live in
+            # VMEM (ops/vmem_attn) — zero [B,H,L,L] HBM traffic fwd AND bwd,
+            # no K/V repeat (GQA handled by the kernel's index maps)
+            from ..ops.vmem_attn import causal_attention_vmem
+
+            out = causal_attention_vmem(
+                q, k, v, float(1.0 / np.sqrt(hd)),
+                jax.default_backend() != "tpu",  # interpret off-TPU
+            )
+            out = out.reshape(B, L, c.heads * hd)
+        elif mask is None:
             # pure-causal training shape routed to the Pallas TPU flash
             # kernel (cfg.attn_impl == "flash"): the [B,H,L,L] scores —
             # 58 MB × layers × (fwd+bwd) of HBM traffic at the train-bench
@@ -191,7 +202,7 @@ class DecoderLM(nn.Module):
     cfg: LLMConfig
 
     @nn.compact
-    def __call__(self, ids, positions=None, kv_caches=None, cache_pos=None, attn_mask=None):
+    def __call__(self, ids, positions=None, kv_caches=None, cache_pos=None, attn_mask=None, return_hidden=False):
         """Training: ids [B, L] → logits [B, L, V] (causal mask).
         Decoding: pass kv_caches [(k,v)×layers] and cache_pos."""
         c = self.cfg
@@ -202,9 +213,16 @@ class DecoderLM(nn.Module):
 
         if kv_caches is None:
             # flash kernel blocks are 128-wide; short shapes (e.g. the [1,8]
-            # init trace) take the dot path
-            if c.attn_impl == "flash" and attn_mask is None and L >= 128 and L % 128 == 0:
-                mask = None  # Attention routes mask=None to the flash kernel
+            # init trace) take the dot path. "vmem" holds the whole [L,L]
+            # score block in VMEM — bounded to MAX_L (512)
+            from ..ops.vmem_attn import MAX_L as _VMEM_MAX_L
+
+            kernel_ok = (
+                (c.attn_impl == "flash" and L >= 128 and L % 128 == 0)
+                or (c.attn_impl == "vmem" and L % 128 == 0 and L <= _VMEM_MAX_L)
+            )
+            if kernel_ok and attn_mask is None:
+                mask = None  # Attention routes mask=None to the pallas kernel
             else:
                 causal = jnp.tril(jnp.ones((L, L), bool))
                 mask = causal[None, :, :]
@@ -225,6 +243,11 @@ class DecoderLM(nn.Module):
             x, nc = layer_cls(c, name=f"layer_{i}")(x, positions, mask, cache)
             new_caches.append(nc)
         x = RMSNorm(name="ln_f")(x)
+        if return_hidden:
+            # fused-CE training path (ops/fused_ce): the caller feeds the
+            # final hidden state + the raw lm_head kernel to the Pallas
+            # linear-CE — [B,L,V] logits never materialize
+            return x
         logits = nn.Dense(c.vocab_size, use_bias=False, dtype=jnp.float32, name="lm_head")(
             x.astype(jnp.float32)
         )
@@ -256,6 +279,23 @@ def causal_lm_loss(logits, ids, loss_mask):
     ll = picked - jax.nn.logsumexp(lg, axis=-1)
     m = loss_mask[:, 1:].astype(ll.dtype)
     return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def causal_lm_loss_fused(hidden, head_w, ids, loss_mask, interpret: bool = False):
+    """causal_lm_loss computed by the Pallas fused linear-CE: identical
+    value (gather − logsumexp over head logits), but the [B,L,V] logits
+    tensor never exists in HBM — the kernel sweeps vocab tiles in VMEM
+    (ops/fused_ce). ``hidden`` is the post-ln_f state from
+    ``model.apply(..., return_hidden=True)``; ``head_w`` the raw lm_head
+    kernel [D, V] (frozen in the LoRA step — no dW is ever computed)."""
+    from ..ops.fused_ce import linear_ce_rows
+
+    B, L, D = hidden.shape
+    h = hidden[:, :-1].reshape((B * (L - 1), D))
+    tgt = ids[:, 1:].reshape(-1)
+    m = loss_mask[:, 1:].reshape(-1).astype(jnp.float32)
+    nll = linear_ce_rows(h, head_w.astype(hidden.dtype), tgt, interpret)
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 def greedy_generate(model: DecoderLM, params, prompt_ids, max_new: int, eos_id: int | None = None):

@@ -93,7 +93,13 @@ def init_train(
     return model, tx, TrainState(params=params, opt_state=opt_state, mask=mask)
 
 
-def make_train_step(model: DecoderLM, tx, donate: bool = True, trainable: dict | None = None):
+def make_train_step(
+    model: DecoderLM,
+    tx,
+    donate: bool = True,
+    trainable: dict | None = None,
+    loss_impl: str = "auto",
+):
     """One fused fwd+bwd+update program.
 
     ``trainable`` (a bool pytree like ``lora_param_mask(params)``, i.e.
@@ -118,6 +124,17 @@ def make_train_step(model: DecoderLM, tx, donate: bool = True, trainable: dict |
     trainable_flat = (
         jax.tree_util.tree_flatten(trainable)[0] if trainable is not None else None
     )
+    # "fused" routes the LM head through the Pallas linear-CE
+    # (ops/fused_ce) — no [B,L,V] logits in HBM. "auto" picks it whenever
+    # the geometry tiles (dim %128, vocab %512); tiny test configs fall
+    # back to the dense loss.
+    from ..ops.fused_ce import linear_ce_supported
+    from .llm import causal_lm_loss_fused
+
+    use_fused = loss_impl == "fused" or (
+        loss_impl == "auto"
+        and linear_ce_supported(model.cfg.dim, model.cfg.vocab_size)
+    )
 
     def step_fn(params, opt_state, ids, loss_mask):
         flat, treedef = jax.tree_util.tree_flatten(params)
@@ -127,7 +144,15 @@ def make_train_step(model: DecoderLM, tx, donate: bool = True, trainable: dict |
             merged = list(flat)
             for i, v in zip(fidx, fvals):
                 merged[i] = v
-            logits = model.apply(jax.tree_util.tree_unflatten(treedef, merged), ids)
+            tree = jax.tree_util.tree_unflatten(treedef, merged)
+            if use_fused:
+                hidden = model.apply(tree, ids, return_hidden=True)
+                head_w = tree["params"]["lm_head"]["kernel"]
+                return causal_lm_loss_fused(
+                    hidden, head_w, ids, loss_mask,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            logits = model.apply(tree, ids)
             return causal_lm_loss(logits, ids, loss_mask)
 
         fvals = tuple(flat[i] for i in fidx)

@@ -1,0 +1,195 @@
+"""Pallas train-path kernels: VMEM-resident causal attention
+(ops/vmem_attn) and the fused linear-CE loss (ops/fused_ce).
+
+These replace the two dominant HBM-traffic items of the LoRA train step
+(the reference's HF-Trainer workload, Code/ssml_models/cascading_model/
+QwenA.py:502-537): the [B,H,L,L] score tensor and the [tokens, vocab]
+f32 logits. Tests run the kernels in interpreter mode against dense
+reference math — values, gradients, masking, GQA accumulation,
+causality, and end-to-end loss-curve parity inside make_train_step."""
+
+import dataclasses as dc
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from prosody_control_french_tts_tpu.models.llm import LLMConfig, causal_lm_loss
+from prosody_control_french_tts_tpu.models.training import init_train, make_train_step
+from prosody_control_french_tts_tpu.ops.fused_ce import linear_ce_rows, linear_ce_supported
+from prosody_control_french_tts_tpu.ops.vmem_attn import causal_attention_vmem
+
+
+def _ref_attention(q, k, v, scale):
+    B, L, H, hd = q.shape
+    KVH = k.shape[2]
+    group = H // KVH
+    qg = q.reshape(B, L, KVH, group, hd)
+    att = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) * scale
+    causal = jnp.tril(jnp.ones((L, L), bool))
+    att = jnp.where(causal[None, None, None], att, -1e30)
+    att = jax.nn.softmax(att, axis=-1)
+    return jnp.einsum("bhgqk,bkhd->bqhgd", att, v).reshape(B, L, H, hd)
+
+
+class TestVmemAttention:
+    B, L, H, KVH, HD = 2, 256, 4, 2, 64
+
+    def _inputs(self, dtype=jnp.float32, seed=0):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.standard_normal((self.B, self.L, self.H, self.HD)), dtype)
+        k = jnp.asarray(rng.standard_normal((self.B, self.L, self.KVH, self.HD)), dtype)
+        v = jnp.asarray(rng.standard_normal((self.B, self.L, self.KVH, self.HD)), dtype)
+        return q, k, v, float(1.0 / np.sqrt(self.HD))
+
+    def test_forward_matches_dense(self):
+        q, k, v, scale = self._inputs()
+        out = causal_attention_vmem(q, k, v, scale, True)
+        ref = _ref_attention(q, k, v, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def test_gradients_match_dense(self):
+        q, k, v, scale = self._inputs(seed=3)
+
+        def loss_k(q, k, v):
+            return jnp.sum(jnp.sin(causal_attention_vmem(q, k, v, scale, True) * 0.3))
+
+        def loss_r(q, k, v):
+            return jnp.sum(jnp.sin(_ref_attention(q, k, v, scale) * 0.3))
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+        # dk/dv accumulate over the GQA group inside the kernel — this is
+        # the output-revisiting path the dense vjp never exercises
+        for a, b in zip(gk, gr):
+            err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-30))
+            assert err < 1e-5, err
+
+    def test_causality(self):
+        q, k, v, scale = self._inputs(seed=5)
+        out0 = np.asarray(causal_attention_vmem(q, k, v, scale, True))
+        # perturb the last key/value row: positions < L-1 must not move
+        k2 = k.at[:, -1].add(3.0)
+        v2 = v.at[:, -1].add(3.0)
+        out1 = np.asarray(causal_attention_vmem(q, k2, v2, scale, True))
+        np.testing.assert_allclose(out0[:, :-1], out1[:, :-1], atol=1e-6)
+        assert np.abs(out0[:, -1] - out1[:, -1]).max() > 1e-3
+
+    def test_bf16(self):
+        q, k, v, scale = self._inputs(jnp.bfloat16, seed=7)
+        out = causal_attention_vmem(q, k, v, scale, True)
+        ref = _ref_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), scale
+        )
+        assert out.dtype == jnp.bfloat16
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+        assert err < 0.05, err
+
+
+class TestFusedCE:
+    N, D, V = 300, 256, 1024
+
+    def _inputs(self, seed=1, spread=1.0):
+        rng = np.random.default_rng(seed)
+        h = jnp.asarray(rng.standard_normal((self.N, self.D)) * 0.3 * spread, jnp.float32)
+        w = jnp.asarray(rng.standard_normal((self.D, self.V)) * 0.05 * spread, jnp.float32)
+        tgt = jnp.asarray(rng.integers(0, self.V, self.N), jnp.int32)
+        return h, w, tgt
+
+    @staticmethod
+    def _ref_rows(h, w, tgt):
+        l = h @ w
+        picked = jnp.take_along_axis(l, tgt[:, None], axis=-1)[:, 0]
+        return jax.nn.logsumexp(l, axis=-1) - picked
+
+    def test_supported_gate(self):
+        assert linear_ce_supported(256, 1024)
+        assert not linear_ce_supported(64, 1024)  # dim % 128
+        assert not linear_ce_supported(256, 1000)  # vocab % 512
+
+    def test_rows_match_dense(self):
+        h, w, tgt = self._inputs()
+        nll = linear_ce_rows(h, w, tgt, True)
+        ref = self._ref_rows(h, w, tgt)
+        np.testing.assert_allclose(np.asarray(nll), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_extreme_logits_online_softmax(self):
+        # large-magnitude logits: the online max/sum rescaling must hold
+        h, w, tgt = self._inputs(seed=2, spread=12.0)
+        nll = linear_ce_rows(h, w, tgt, True)
+        ref = self._ref_rows(h, w, tgt)
+        assert np.isfinite(np.asarray(nll)).all()
+        np.testing.assert_allclose(np.asarray(nll), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def test_grad_matches_dense(self):
+        h, w, tgt = self._inputs(seed=4)
+        rng = np.random.default_rng(9)
+        mask = jnp.asarray(rng.random(self.N) > 0.3, jnp.float32)
+
+        def loss_k(h):
+            r = linear_ce_rows(h, w, tgt, True)
+            return jnp.sum(r * mask) / jnp.sum(mask)
+
+        def loss_r(h):
+            r = self._ref_rows(h, w, tgt)
+            return jnp.sum(r * mask) / jnp.sum(mask)
+
+        gk = jax.grad(jax.jit(loss_k))(h)
+        gr = jax.grad(loss_r)(h)
+        err = float(jnp.max(jnp.abs(gk - gr)) / jnp.max(jnp.abs(gr)))
+        assert err < 1e-5, err
+
+    def test_row_padding(self):
+        # N=300 pads to the sublane/block multiple internally; the tail
+        # must be sliced back off and not pollute values or grads
+        h, w, tgt = self._inputs(seed=6)
+        for n in (8, 100, 256):
+            nll = linear_ce_rows(h[:n], w, tgt[:n], True)
+            assert nll.shape == (n,)
+            ref = self._ref_rows(h[:n], w, tgt[:n])
+            np.testing.assert_allclose(np.asarray(nll), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+class TestTrainStepParity:
+    """Loss-curve parity of the kernels inside the real jitted
+    fwd+bwd+update program — the decision-grade check."""
+
+    def _run(self, attn_impl, loss_impl, steps=4):
+        cfg = LLMConfig(
+            vocab_size=1024, dim=128, layers=2, heads=4, kv_heads=2,
+            ffn=256, max_len=128, lora_rank=4, dtype=jnp.float32,
+            attn_impl=attn_impl,
+        )
+        model, tx, state = init_train(cfg, lr=1e-3, accum=1)
+        step = make_train_step(
+            model, tx, donate=False, trainable=state.mask, loss_impl=loss_impl
+        )
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 128)), jnp.int32)
+        mask = jnp.ones((2, 128), jnp.float32)
+        p, o = state.params, state.opt_state
+        losses = []
+        for _ in range(steps):
+            p, o, loss = step(p, o, ids, mask)
+            losses.append(float(loss))
+        return losses
+
+    def test_fused_ce_loss_curve(self):
+        dense = self._run("dot", "dense")
+        fused = self._run("dot", "fused")
+        for a, b in zip(dense, fused):
+            assert abs(a - b) / abs(a) < 2e-5, (dense, fused)
+
+    def test_vmem_attention_loss_curve(self):
+        dot = self._run("dot", "dense")
+        vmem = self._run("vmem", "dense")
+        for a, b in zip(dot, vmem):
+            assert abs(a - b) / abs(a) < 5e-4, (dot, vmem)
+
+    def test_flagship_combination(self):
+        dense = self._run("dot", "dense")
+        both = self._run("vmem", "fused")
+        for a, b in zip(dense, both):
+            assert abs(a - b) / abs(a) < 5e-4, (dense, both)
