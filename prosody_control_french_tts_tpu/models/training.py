@@ -127,14 +127,32 @@ def make_train_step(
     # "fused" routes the LM head through the Pallas linear-CE
     # (ops/fused_ce) — no [B,L,V] logits in HBM. "auto" picks it whenever
     # the geometry tiles (dim %128, vocab %512); tiny test configs fall
-    # back to the dense loss.
+    # back to the dense loss. The fused kernel computes NO dW for the
+    # head (its backward returns zeros for W), so it is only legal when
+    # the lm_head kernel is frozen — true for every LoRA mask; a
+    # full-fine-tune step (trainable=None or head marked True) must take
+    # the dense path.
     from ..ops.fused_ce import linear_ce_supported
     from .llm import causal_lm_loss_fused
+
+    def _head_frozen():
+        if trainable is None:
+            return False
+        try:
+            return not bool(trainable["params"]["lm_head"]["kernel"])
+        except (KeyError, TypeError):
+            return False
 
     use_fused = loss_impl == "fused" or (
         loss_impl == "auto"
         and linear_ce_supported(model.cfg.dim, model.cfg.vocab_size)
+        and _head_frozen()
     )
+    if loss_impl == "fused" and not _head_frozen():
+        raise ValueError(
+            "loss_impl='fused' requires a frozen lm_head (the fused CE "
+            "computes no dW); pass the LoRA trainable mask or use 'dense'"
+        )
 
     def step_fn(params, opt_state, ids, loss_mask):
         flat, treedef = jax.tree_util.tree_flatten(params)
