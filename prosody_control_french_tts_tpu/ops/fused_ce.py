@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_N = 1024
+BLOCK_N_BWD = 512
 BLOCK_V = 512
 
 _NEG = -1e30
@@ -72,13 +73,15 @@ def _fwd_kernel(h_ref, w_ref, t_ref, nll_ref, lse_ref, m_ref, s_ref, p_ref, *, b
         nll_ref[...] = lse - p_ref[...]
 
 
-def _bwd_kernel(h_ref, w_ref, t_ref, lse_ref, g_ref, dh_ref, acc_ref, *, bv):
+def _bwd_kernel(h_ref, w_ref, t_ref, lse_ref, g_ref, dh_ref, *, bv):
+    # dh accumulates straight into the (revisited) f32 output block — a
+    # separate scratch pushed the kernel over the 16 MB scoped-VMEM limit
+    # at larger token counts
     j = pl.program_id(1)
-    nj = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        dh_ref[...] = jnp.zeros_like(dh_ref)
 
     l = jax.lax.dot_general(
         h_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
@@ -88,14 +91,10 @@ def _bwd_kernel(h_ref, w_ref, t_ref, lse_ref, g_ref, dh_ref, acc_ref, *, bv):
     cols = j * bv + jax.lax.broadcasted_iota(jnp.int32, l.shape, 1)
     onehot = (cols == t_ref[...]).astype(jnp.float32)
     coef = ((p - onehot) * g_ref[...]).astype(w_ref.dtype)
-    acc_ref[...] += jax.lax.dot_general(
+    dh_ref[...] += jax.lax.dot_general(
         coef, w_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-
-    @pl.when(j == nj - 1)
-    def _finish():
-        dh_ref[...] = acc_ref[...].astype(dh_ref.dtype)
 
 
 def _pad_rows(x, bn):
@@ -152,7 +151,10 @@ def _ce_rows_bwd(interpret, res, g):
     h, w, t2d, lse = res
     n, d = h.shape
     v = w.shape[1]
-    bn, bv = min(BLOCK_N, n), BLOCK_V
+    # smaller row block than the forward: the f32 dh accumulator block
+    # lives in VMEM for the whole vocab sweep. n arrives padded to the
+    # forward block, so it divides by BLOCK_N_BWD whenever it exceeds it.
+    bn, bv = (BLOCK_N_BWD if n % BLOCK_N_BWD == 0 else n), BLOCK_V
     dh = pl.pallas_call(
         partial(_bwd_kernel, bv=bv),
         grid=(n // bn, v // bv),
@@ -164,13 +166,12 @@ def _ce_rows_bwd(interpret, res, g):
             pl.BlockSpec((bn, 1), lambda i, j: (i, 0)),
         ],
         out_specs=pl.BlockSpec((bn, d), lambda i, j: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, d), h.dtype),
-        scratch_shapes=[pltpu.VMEM((bn, d), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
         interpret=interpret,
     )(h, w, t2d, lse, g)
     # dW is never needed (the LM head is frozen in the LoRA step); the
     # zeros are dead code XLA eliminates when w isn't differentiated
-    return dh, jnp.zeros_like(w), None
+    return dh.astype(h.dtype), jnp.zeros_like(w), None
 
 
 _ce_rows.defvjp(_ce_rows_fwd, _ce_rows_bwd)

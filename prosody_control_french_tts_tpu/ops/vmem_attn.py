@@ -52,10 +52,10 @@ def _causal(L):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale):
-    L = q_ref.shape[1]
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
+    L = q_ref.shape[2]
+    q = q_ref[0, 0, :, :]
+    k = k_ref[0, 0, :, :]
+    v = v_ref[0, 0, :, :]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * sm_scale
@@ -67,16 +67,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale):
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0, :, 0, :] = o.astype(o_ref.dtype)
+    o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, sm_scale, group):
     h = pl.program_id(1)
-    L = q_ref.shape[1]
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
-    do = do_ref[0, :, 0, :]
+    L = q_ref.shape[2]
+    q = q_ref[0, 0, :, :]
+    k = k_ref[0, 0, :, :]
+    v = v_ref[0, 0, :, :]
+    do = do_ref[0, 0, :, :]
     # recompute probabilities in VMEM (never saved to HBM)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -101,7 +101,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, sm_scale
     dk = jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dq_ref[0, :, 0, :] = dq.astype(dq_ref.dtype)
+    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
 
     # dk/dv blocks are indexed by kv-head = h // group: the same output
     # block is revisited for `group` consecutive h steps — initialize on
@@ -111,8 +111,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, sm_scale
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    dk_ref[0, :, 0, :] += dk
-    dv_ref[0, :, 0, :] += dv
+    dk_ref[0, 0, :, :] += dk
+    dv_ref[0, 0, :, :] += dv
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -127,21 +127,27 @@ def causal_attention_vmem(q, k, v, sm_scale: float, interpret: bool = False):
 
 
 def _fwd_call(q, k, v, sm_scale, interpret):
+    # Mosaic wants the block's LAST TWO dims tiled (÷8, ÷128 — or equal to
+    # the array dims): compute in [B, H, L, hd] so blocks end in (L, hd)
     B, L, H, hd = q.shape
     KVH = k.shape[2]
-    kv_spec = pl.BlockSpec((1, L, 1, hd), lambda b, h: (b, 0, h // (H // KVH), 0))
-    return pl.pallas_call(
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    kv_spec = pl.BlockSpec((1, 1, L, hd), lambda b, h: (b, h // (H // KVH), 0, 0))
+    out = pl.pallas_call(
         partial(_fwd_kernel, sm_scale=sm_scale),
         grid=(B, H),
         in_specs=[
-            pl.BlockSpec((1, L, 1, hd), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 1, L, hd), lambda b, h: (b, h, 0, 0)),
             kv_spec,
             kv_spec,
         ],
-        out_specs=pl.BlockSpec((1, L, 1, hd), lambda b, h: (b, 0, h, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, L, H, hd), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, L, hd), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, L, hd), q.dtype),
         interpret=interpret,
-    )(q, k, v)
+    )(qt, kt, vt)
+    return out.transpose(0, 2, 1, 3)
 
 
 def _vjp_fwd(q, k, v, sm_scale, interpret):
@@ -153,25 +159,29 @@ def _vjp_bwd(sm_scale, interpret, res, do):
     B, L, H, hd = q.shape
     KVH = k.shape[2]
     group = H // KVH
-    kv_spec = pl.BlockSpec((1, L, 1, hd), lambda b, h: (b, 0, h // group, 0))
-    q_spec = pl.BlockSpec((1, L, 1, hd), lambda b, h: (b, 0, h, 0))
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    dot = do.transpose(0, 2, 1, 3)
+    kv_spec = pl.BlockSpec((1, 1, L, hd), lambda b, h: (b, h // group, 0, 0))
+    q_spec = pl.BlockSpec((1, 1, L, hd), lambda b, h: (b, h, 0, 0))
     dq, dk, dv = pl.pallas_call(
         partial(_bwd_kernel, sm_scale=sm_scale, group=group),
         grid=(B, H),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec],
-        out_specs=[
-            q_spec,
-            pl.BlockSpec((1, L, 1, hd), lambda b, h: (b, 0, h // group, 0)),
-            pl.BlockSpec((1, L, 1, hd), lambda b, h: (b, 0, h // group, 0)),
-        ],
+        out_specs=[q_spec, kv_spec, kv_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((B, L, H, hd), q.dtype),
-            jax.ShapeDtypeStruct((B, L, KVH, hd), jnp.float32),
-            jax.ShapeDtypeStruct((B, L, KVH, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, L, hd), q.dtype),
+            jax.ShapeDtypeStruct((B, KVH, L, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, KVH, L, hd), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, do)
-    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+    )(qt, kt, vt, dot)
+    return (
+        dq.transpose(0, 2, 1, 3),
+        dk.transpose(0, 2, 1, 3).astype(k.dtype),
+        dv.transpose(0, 2, 1, 3).astype(v.dtype),
+    )
 
 
 causal_attention_vmem.defvjp(_vjp_fwd, _vjp_bwd)
