@@ -56,11 +56,20 @@ class LLMConfig:
     attn_impl: str = "dot"
     # rematerialize each decoder layer in the backward pass: activations
     # (incl. the [B,H,L,L] scores) are recomputed instead of stored.
-    # Measured on v5e at B8/16/32 L512 d896: remat LOSES throughput
+    # Measured on v5e at B8/16/32 L512 d896: full remat LOSES throughput
     # (MFU 0.289/0.267/0.266 vs 0.349/0.336/0.332 without) — the step is
     # already HBM-bound and recompute re-reads the same weights. Keep
     # False for speed; the flag exists for memory-limited long-L shapes.
     remat: bool = False
+    # with remat=True: None → save nothing (full recompute); "dots" →
+    # jax.checkpoint_policies.dots_saveable (matmul outputs saved,
+    # elementwise/norm/rope intermediates recomputed — no weight re-reads).
+    # Measured on v5e (B8 L512 d896, fused CE): dots-policy remat ALSO
+    # loses — 33 ms/step vs 30.6 without remat, for either attention
+    # impl — the recomputed elementwise work costs more than the saved
+    # activation traffic at this HBM-bound shape. Both flags stay off on
+    # the production path; they exist for memory-limited long-L shapes.
+    remat_policy: str | None = None
 
     @classmethod
     def tiny(cls, vocab_size: int = 512) -> "LLMConfig":
@@ -235,7 +244,12 @@ class DecoderLM(nn.Module):
         new_caches = []
         layer_cls = DecoderLayer
         if c.remat and kv_caches is None:
-            layer_cls = nn.remat(DecoderLayer, static_argnums=())
+            policy = (
+                jax.checkpoint_policies.dots_saveable
+                if c.remat_policy == "dots"
+                else None
+            )
+            layer_cls = nn.remat(DecoderLayer, static_argnums=(), policy=policy)
         for i in range(c.layers):
             cache = None
             if kv_caches is not None:

@@ -34,8 +34,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_N = 1024
-BLOCK_N_BWD = 512
+BLOCK_N_BWD = 1024
 BLOCK_V = 512
+BLOCK_V_BWD = 128
 
 _NEG = -1e30
 
@@ -151,10 +152,13 @@ def _ce_rows_bwd(interpret, res, g):
     h, w, t2d, lse = res
     n, d = h.shape
     v = w.shape[1]
-    # smaller row block than the forward: the f32 dh accumulator block
-    # lives in VMEM for the whole vocab sweep. n arrives padded to the
-    # forward block, so it divides by BLOCK_N_BWD whenever it exceeds it.
-    bn, bv = (BLOCK_N_BWD if n % BLOCK_N_BWD == 0 else n), BLOCK_V
+    # W re-streams once per row tile (Ni × 58 MB at the bench shape), so
+    # keep the row block LARGE and shrink the vocab tile instead to stay
+    # under the 16 MB scoped-VMEM cap with the f32 dh accumulator block.
+    # n arrives padded to the forward block, so it divides whenever it
+    # exceeds the block.
+    bn = BLOCK_N_BWD if n % BLOCK_N_BWD == 0 else n
+    bv = BLOCK_V_BWD
     dh = pl.pallas_call(
         partial(_bwd_kernel, bv=bv),
         grid=(n // bn, v // bv),

@@ -62,12 +62,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale):
     s = jnp.where(_causal(L), s, _NEG)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)
+    # normalize on the [L, hd] output, not the [L, L] matrix (hd/L× less
+    # VPU work)
+    l = jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
+    o_ref[0, 0, :, :] = (o / l).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, sm_scale, group):
