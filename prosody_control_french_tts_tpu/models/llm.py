@@ -54,6 +54,14 @@ class LLMConfig:
     # dot 33.6 ms/step vs flash 58.9 — the upstream flash bwd loses at
     # this small head_dim/L; keep "dot" unless L is long.
     attn_impl: str = "dot"
+    # fuse q|k|v and gate|up into ONE matmul each at apply time (LoRA
+    # adapters ride along as [A_q|A_k|A_v] + a block-diagonal B): the
+    # activation x is read from HBM once instead of 3× (+3× for the
+    # rank-8 LoRA matmuls, which are 8-lane MXU misfits on their own).
+    # Parameter tree, initializers, and checkpoints are unchanged — the
+    # concat happens inside the program. Training-path knob; serving
+    # already runs the statically fused layout (fuse_decode_params).
+    fused_qkv: bool = False
     # rematerialize each decoder layer in the backward pass: activations
     # (incl. the [B,H,L,L] scores) are recomputed instead of stored.
     # Measured on v5e at B8/16/32 L512 d896: full remat LOSES throughput
@@ -116,6 +124,36 @@ class RMSNorm(nn.Module):
         return (x * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * scale.astype(x.dtype)
 
 
+def _fused_lora_matmul(x, parts, alpha: float):
+    """One matmul over N concatenated LoRADense parameter surfaces.
+
+    ``parts`` are ``(kernel, bias, lora_a, lora_b)`` tuples from
+    LoRADense's parameter-surface mode (all with bias or none, all with
+    adapters or none). Computes the per-projection outputs side by side:
+    ``x @ [W1|…|WN] + [b1|…|bN] + (α/r)·(x @ [A1|…|AN]) @ blockdiag(B)``.
+    Each output column's contraction is unchanged (the off-block zeros of
+    blockdiag(B) contribute exact 0.0 terms), so results match the
+    per-projection matmuls; x streams from HBM once instead of N (+N
+    adapter) times."""
+    w = jnp.concatenate([p[0] for p in parts], axis=1)
+    y = jnp.dot(x, w)
+    if parts[0][1] is not None:
+        y = y + jnp.concatenate([p[1] for p in parts]).astype(y.dtype)
+    if parts[0][2] is not None:
+        rank = parts[0][2].shape[1]
+        acat = jnp.concatenate([p[2] for p in parts], axis=1).astype(x.dtype)
+        bblk = jnp.zeros((len(parts) * rank, y.shape[-1]), x.dtype)
+        col = 0
+        for i, p in enumerate(parts):
+            f = p[3].shape[1]
+            bblk = bblk.at[i * rank : (i + 1) * rank, col : col + f].set(
+                p[3].astype(x.dtype)
+            )
+            col += f
+        y = y + (alpha / rank) * jnp.dot(jnp.dot(x, acat), bblk)
+    return y
+
+
 class Attention(nn.Module):
     cfg: LLMConfig
 
@@ -124,9 +162,15 @@ class Attention(nn.Module):
         c = self.cfg
         hd = c.head_dim
         # q/k/v carry biases (Qwen2 convention); o does not
-        q = LoRADense(c.heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, quant=c.quant, name="q")(x)
-        k = LoRADense(c.kv_heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, quant=c.quant, name="k")(x)
-        v = LoRADense(c.kv_heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, quant=c.quant, name="v")(x)
+        qd = LoRADense(c.heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, quant=c.quant, in_features=c.dim, name="q")
+        kd = LoRADense(c.kv_heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, quant=c.quant, in_features=c.dim, name="k")
+        vd = LoRADense(c.kv_heads * hd, c.lora_rank, c.lora_alpha, use_bias=True, dtype=c.dtype, quant=c.quant, in_features=c.dim, name="v")
+        if c.fused_qkv:
+            nq, nkv = c.heads * hd, c.kv_heads * hd
+            qkv = _fused_lora_matmul(x, [qd(None), kd(None), vd(None)], c.lora_alpha)
+            q, k, v = qkv[..., :nq], qkv[..., nq : nq + nkv], qkv[..., nq + nkv :]
+        else:
+            q, k, v = qd(x), kd(x), vd(x)
         B, L = x.shape[0], x.shape[1]
         q = q.reshape(B, L, c.heads, hd)
         k = k.reshape(B, L, c.kv_heads, hd)
@@ -187,8 +231,13 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        gate = LoRADense(c.ffn, c.lora_rank, c.lora_alpha, dtype=c.dtype, quant=c.quant, name="gate")(x)
-        up = LoRADense(c.ffn, c.lora_rank, c.lora_alpha, dtype=c.dtype, quant=c.quant, name="up")(x)
+        gd = LoRADense(c.ffn, c.lora_rank, c.lora_alpha, dtype=c.dtype, quant=c.quant, in_features=c.dim, name="gate")
+        ud = LoRADense(c.ffn, c.lora_rank, c.lora_alpha, dtype=c.dtype, quant=c.quant, in_features=c.dim, name="up")
+        if c.fused_qkv:
+            gu = _fused_lora_matmul(x, [gd(None), ud(None)], c.lora_alpha)
+            gate, up = gu[..., : c.ffn], gu[..., c.ffn :]
+        else:
+            gate, up = gd(x), ud(x)
         return LoRADense(c.dim, c.lora_rank, c.lora_alpha, dtype=c.dtype, quant=c.quant, name="down")(
             jax.nn.silu(gate) * up
         )

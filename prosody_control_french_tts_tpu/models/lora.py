@@ -30,12 +30,15 @@ class LoRADense(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
     quant: str | None = None
+    # required only for parameter-surface mode (__call__(None)); normally
+    # inferred from x
+    in_features: int | None = None
 
     @nn.compact
     def __call__(self, x):
         from .quant import NF4_BLOCK, dequant_int8, dequant_int8_block, dequant_nf4
 
-        in_f = x.shape[-1]
+        in_f = x.shape[-1] if x is not None else self.in_features
         if self.quant == "int8":
             q = self.param("kernel_q", nn.initializers.zeros, (in_f, self.features), jnp.int8)
             s = self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
@@ -65,10 +68,11 @@ class LoRADense(nn.Module):
         else:
             kernel = self.param("kernel", self.kernel_init, (in_f, self.features), jnp.float32)
             kernel_c = kernel.astype(self.dtype)
-        y = jnp.dot(x, kernel_c)
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y + bias.astype(self.dtype)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
         if self.rank > 0:
             a = self.param(
                 "lora_a",
@@ -77,6 +81,18 @@ class LoRADense(nn.Module):
                 jnp.float32,
             )
             b = self.param("lora_b", nn.initializers.zeros, (self.rank, self.features), jnp.float32)
+        else:
+            a = b = None
+        if x is None:
+            # parameter-surface mode: callers that fuse several projections
+            # into one matmul (models.llm fused_qkv) read the weights here so
+            # the tree layout/initializers stay byte-identical to the
+            # unfused module
+            return kernel_c, bias, a, b
+        y = jnp.dot(x, kernel_c)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        if a is not None:
             scale = self.alpha / self.rank
             y = y + scale * jnp.dot(jnp.dot(x, a.astype(self.dtype)), b.astype(self.dtype))
         return y

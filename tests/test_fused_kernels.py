@@ -193,3 +193,70 @@ class TestTrainStepParity:
         both = self._run("vmem", "fused")
         for a, b in zip(dense, both):
             assert abs(a - b) / abs(a) < 5e-4, (dense, both)
+
+
+class TestFusedQKV:
+    """cfg.fused_qkv: q|k|v and gate|up as ONE matmul each, LoRA adapters
+    via [A_q|A_k|A_v] + block-diagonal B (models/llm._fused_lora_matmul).
+    The param tree must stay byte-identical to the unfused module and the
+    fused program must reproduce its logits and adapter gradients."""
+
+    def _pair(self, lora_rank=4):
+        from prosody_control_french_tts_tpu.models.llm import DecoderLM
+
+        cfg = LLMConfig(
+            vocab_size=512, dim=128, layers=2, heads=4, kv_heads=2,
+            ffn=256, max_len=64, lora_rank=lora_rank,
+        )
+        return DecoderLM(cfg), DecoderLM(dc.replace(cfg, fused_qkv=True))
+
+    def _randomized(self, m, ids, seed=0):
+        # randomize lora_b: the zero init would hide adapter-path bugs
+        import jax.tree_util as jtu
+
+        rng = np.random.default_rng(seed)
+        p = m.init(jax.random.PRNGKey(0), ids)
+
+        def rnd(path, leaf):
+            if any(getattr(k, "key", None) == "lora_b" for k in path):
+                return jnp.asarray(rng.standard_normal(leaf.shape) * 0.1, leaf.dtype)
+            return leaf
+
+        return jtu.tree_map_with_path(rnd, p)
+
+    @pytest.mark.parametrize("lora_rank", [0, 4])
+    def test_tree_layout_and_logits_identical(self, lora_rank):
+        import jax.tree_util as jtu
+
+        m, mF = self._pair(lora_rank)
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(1, 512, size=(2, 48)), jnp.int32)
+        p = self._randomized(m, ids)
+        pF = mF.init(jax.random.PRNGKey(0), ids)
+        keys = [jtu.keystr(k) for k, _ in jtu.tree_flatten_with_path(p)[0]]
+        keysF = [jtu.keystr(k) for k, _ in jtu.tree_flatten_with_path(pF)[0]]
+        assert keys == keysF
+        lg = np.asarray(m.apply(p, ids))
+        lgF = np.asarray(mF.apply(p, ids))
+        scale = np.max(np.abs(lg))
+        assert np.max(np.abs(lg - lgF)) <= 2e-2 * scale
+
+    def test_lora_grads_match(self):
+        import jax.tree_util as jtu
+
+        m, mF = self._pair()
+        rng = np.random.default_rng(2)
+        ids = jnp.asarray(rng.integers(1, 512, size=(2, 48)), jnp.int32)
+        p = self._randomized(m, ids, seed=2)
+
+        def loss(pp, model):
+            return jnp.mean(model.apply(pp, ids).astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(p, m)
+        gF = jax.grad(loss)(p, mF)
+        for (path, a), (_, b) in zip(
+            jtu.tree_flatten_with_path(g)[0], jtu.tree_flatten_with_path(gF)[0]
+        ):
+            if "lora" in jtu.keystr(path):
+                rel = float(np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12))
+                assert rel < 5e-2, f"{jtu.keystr(path)} grad rel diff {rel}"
