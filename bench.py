@@ -446,7 +446,9 @@ def bench_llm_train() -> dict:
     import dataclasses as _dc
 
     if on_accel:
-        cfg = _dc.replace(cfg, attn_impl="vmem")
+        # fused q|k|v and gate|up train-path matmuls (block-diagonal LoRA)
+        # measured 28.5 ms/step vs 29.2 unfused at this geometry (probe r4)
+        cfg = _dc.replace(cfg, attn_impl="vmem", fused_qkv=True)
     model, tx, state = init_train(
         cfg, lr=3e-4, accum=1, frozen_dtype=jnp.bfloat16 if on_accel else None
     )

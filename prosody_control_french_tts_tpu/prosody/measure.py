@@ -774,8 +774,16 @@ def run_measure_device(prep: PreparedVoice, pp: PitchParams):
             raw, raw_len, win_raw, rate=float(prep.rate), T2=int(prep.raw_for_device.shape[1])
         )
         out = (p_syn, p_seg, l_nat_syn, l_nat_seg, l_raw_syn, l_raw_seg)
+    # The six outputs are per-syntagme/per-segment scalars — [S,N] and [S]
+    # f32, a few KB total — so "drain" ≠ readback volume. Split the blocking
+    # point honestly: `wait` reads one output of the LAST-queued program
+    # (launches execute in dispatch order, so this forces BOTH programs;
+    # block_until_ready does not force unconsumed results on this runtime),
+    # `drain` is then the pure d2h conversion of the remaining KBs.
+    with phase("measure/device/wait"):
+        l_raw_seg = np.asarray(out[5])
     with phase("measure/device/drain"):
-        return tuple(np.asarray(o)[:S] for o in out)
+        return tuple(np.asarray(o)[:S] for o in out[:5]) + (l_raw_seg[:S],)
 
 
 def postprocess_voice(prep: PreparedVoice, outputs, settings: ProsodySettings) -> MeasureResult:
@@ -958,9 +966,16 @@ def measure_voices_batched(
         dispatched = _dispatch_groups_fused([list(sub.items()) for sub in groups.values()], pp)
     else:
         dispatched = [_dispatch_group(list(sub.items()), pp) for sub in groups.values()]
+    from ..core.profiling import phase
+
     results: dict[str, MeasureResult] = {}
     for items, lazy in dispatched:
-        out = tuple(np.asarray(o) for o in lazy)  # drain (forces execution)
+        # same wait/drain split as run_measure_device: the readback is KBs
+        # of per-syntagme scalars; the blocking cost is device compute
+        with phase("measure/device/wait"):
+            last = np.asarray(lazy[5])  # forces this launch (and all queued before it)
+        with phase("measure/device/drain"):
+            out = tuple(np.asarray(o) for o in lazy[:5]) + (last,)
         offset = 0
         for name, prep in items:
             S = prep.nat.shape[0]
