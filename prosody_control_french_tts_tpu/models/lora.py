@@ -36,16 +36,27 @@ class LoRADense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from .quant import NF4_BLOCK, dequant_int8, dequant_int8_block, dequant_nf4
+        from .quant import (
+            NF4_BLOCK,
+            dequant_int8,
+            dequant_int8_block,
+            dequant_nf4,
+            matmul_int8_block,
+        )
 
         in_f = x.shape[-1] if x is not None else self.in_features
+        base_matmul = None  # int8b computes y directly (kernel never materializes)
         if self.quant == "int8":
             q = self.param("kernel_q", nn.initializers.zeros, (in_f, self.features), jnp.int8)
             s = self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
             kernel_c = dequant_int8(q, s, self.dtype)
         elif self.quant == "int8b":
             # blockwise int8 — the NF4 serving layout (quant.recode_nf4_to_
-            # int8_block): streams at the int8 rate, carries NF4 levels
+            # int8_block): carries exact NF4 levels; the decode matmul runs
+            # the block-partial ordering (quant.matmul_int8_block) so the
+            # weight stream is 1 byte/param — blockwise scales cannot be
+            # hoisted out of a dense dot and would otherwise materialize
+            # the f32 kernel every step
             q = self.param("kernel_q", nn.initializers.zeros, (in_f, self.features), jnp.int8)
             s = self.param(
                 "kernel_scale",
@@ -53,7 +64,11 @@ class LoRADense(nn.Module):
                 (in_f // NF4_BLOCK, self.features),
                 jnp.float32,
             )
-            kernel_c = dequant_int8_block(q, s, self.dtype)
+            if x is None:
+                kernel_c = dequant_int8_block(q, s, self.dtype)
+            else:
+                kernel_c = None
+                base_matmul = lambda xx: matmul_int8_block(xx, q, s, self.dtype)
         elif self.quant == "nf4":
             q = self.param(
                 "kernel_q", nn.initializers.zeros, (in_f // 2, self.features), jnp.uint8
@@ -89,7 +104,7 @@ class LoRADense(nn.Module):
             # the tree layout/initializers stay byte-identical to the
             # unfused module
             return kernel_c, bias, a, b
-        y = jnp.dot(x, kernel_c)
+        y = base_matmul(x) if base_matmul is not None else jnp.dot(x, kernel_c)
         if bias is not None:
             y = y + bias.astype(self.dtype)
         if a is not None:

