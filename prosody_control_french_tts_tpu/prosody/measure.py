@@ -180,6 +180,43 @@ def _measure_device(
     return p_syn, p_seg, l_nat_syn, l_nat_seg, l_raw_syn, l_raw_seg
 
 
+def _pack6(outs):
+    """Traced: pack the six measure outputs into ONE [S, 3N+3] f32 buffer.
+
+    Each device→host read costs a full tunnel roundtrip (~30 ms) on remote
+    runtimes regardless of size — six separate KB-sized reads were ~150 ms
+    of pure latency per voice in the e2e phase table. One buffer = one
+    read. Column layout: [p_syn | p_seg | l_nat_syn | l_nat_seg |
+    l_raw_syn | l_raw_seg]."""
+    p_syn, p_seg, l_nat_syn, l_nat_seg, l_raw_syn, l_raw_seg = outs
+    return jnp.concatenate(
+        [p_syn, p_seg[:, None], l_nat_syn, l_nat_seg[:, None], l_raw_syn, l_raw_seg[:, None]],
+        axis=1,
+    )
+
+
+def _unpack6(arr: np.ndarray):
+    """Host: inverse of _pack6. arr [S, 3N+3] → the six output arrays."""
+    n = (arr.shape[1] - 3) // 3
+    return (
+        arr[:, :n],
+        arr[:, n],
+        arr[:, n + 1 : 2 * n + 1],
+        arr[:, 2 * n + 1],
+        arr[:, 2 * n + 2 : 3 * n + 2],
+        arr[:, 3 * n + 2],
+    )
+
+
+@partial(jax.jit, static_argnames=("rate", "T", "T2", "pp"))
+def _measure_device_packed(
+    nat, nat_len, raw, raw_len, win_nat, win_raw, mask, rate: float, T: int, T2: int, pp: PitchParams
+):
+    return _pack6(
+        _measure_device(nat, nat_len, raw, raw_len, win_nat, win_raw, mask, rate=rate, T=T, T2=T2, pp=pp)
+    )
+
+
 @partial(jax.jit, static_argnames=("rate", "T", "pp"))
 def _measure_nat_device(nat, nat_len, win_nat, mask, rate: float, T: int, pp: PitchParams):
     """Natural-side half of _measure_device (pitch + nat LUFS) as its own
@@ -201,6 +238,21 @@ def _measure_raw_device(raw, raw_len, win_raw, rate: float, T2: int):
     if raw.dtype == jnp.int16:
         raw = pcm.i16_to_f32(raw)
     return _lufs_part(raw, raw_len, win_raw, rate, T2)
+
+
+@partial(jax.jit, static_argnames=("rate", "T", "pp"))
+def _measure_nat_packed(nat, nat_len, win_nat, mask, rate: float, T: int, pp: PitchParams):
+    """_measure_nat_device with its four outputs packed into one
+    [S, 2N+2] buffer (see _pack6 rationale: one d2h read per program)."""
+    p_syn, p_seg, l_syn, l_seg = _measure_nat_device(nat, nat_len, win_nat, mask, rate, T, pp)
+    return jnp.concatenate([p_syn, p_seg[:, None], l_syn, l_seg[:, None]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("rate", "T2"))
+def _measure_raw_packed(raw, raw_len, win_raw, rate: float, T2: int):
+    """_measure_raw_device packed into one [S, N+1] buffer."""
+    l_syn, l_seg = _measure_raw_device(raw, raw_len, win_raw, rate, T2)
+    return jnp.concatenate([l_syn, l_seg[:, None]], axis=1)
 
 
 @partial(jax.jit, static_argnames=("t",))
@@ -767,23 +819,33 @@ def run_measure_device(prep: PreparedVoice, pp: PitchParams):
         )
     with phase("measure/device/launch"):
         nat, nat_len, raw, raw_len, win_nat, win_raw, mask = dev
-        p_syn, p_seg, l_nat_syn, l_nat_seg = _measure_nat_device(
+        nat_pk = _measure_nat_packed(
             nat, nat_len, win_nat, mask, rate=float(prep.rate), T=int(prep.nat.shape[1]), pp=pp
         )
-        l_raw_syn, l_raw_seg = _measure_raw_device(
+        raw_pk = _measure_raw_packed(
             raw, raw_len, win_raw, rate=float(prep.rate), T2=int(prep.raw_for_device.shape[1])
         )
-        out = (p_syn, p_seg, l_nat_syn, l_nat_seg, l_raw_syn, l_raw_seg)
-    # The six outputs are per-syntagme/per-segment scalars — [S,N] and [S]
-    # f32, a few KB total — so "drain" ≠ readback volume. Split the blocking
-    # point honestly: `wait` reads one output of the LAST-queued program
-    # (launches execute in dispatch order, so this forces BOTH programs;
-    # block_until_ready does not force unconsumed results on this runtime),
-    # `drain` is then the pure d2h conversion of the remaining KBs.
+    # The outputs are per-syntagme/per-segment scalars — a few KB total —
+    # so "drain" ≠ readback volume; each program packs them into ONE buffer
+    # because every d2h read costs a tunnel roundtrip (~30 ms) regardless
+    # of size. Split the blocking point honestly: `wait` reads the
+    # LAST-queued program's buffer (launches execute in dispatch order, so
+    # this forces BOTH programs; block_until_ready does not force
+    # unconsumed results on this runtime), `drain` is the one remaining
+    # read.
     with phase("measure/device/wait"):
-        l_raw_seg = np.asarray(out[5])
+        raw_np = np.asarray(raw_pk)
     with phase("measure/device/drain"):
-        return tuple(np.asarray(o)[:S] for o in out[:5]) + (l_raw_seg[:S],)
+        nat_np = np.asarray(nat_pk)
+    N = prep.win_nat.shape[1]
+    return (
+        nat_np[:S, :N],            # p_syn
+        nat_np[:S, N],             # p_seg
+        nat_np[:S, N + 1 : 2 * N + 1],  # l_nat_syn
+        nat_np[:S, 2 * N + 1],     # l_nat_seg
+        raw_np[:S, :N],            # l_raw_syn
+        raw_np[:S, N],             # l_raw_seg
+    )
 
 
 def postprocess_voice(prep: PreparedVoice, outputs, settings: ProsodySettings) -> MeasureResult:
@@ -971,11 +1033,10 @@ def measure_voices_batched(
     results: dict[str, MeasureResult] = {}
     for items, lazy in dispatched:
         # same wait/drain split as run_measure_device: the readback is KBs
-        # of per-syntagme scalars; the blocking cost is device compute
+        # of per-syntagme scalars packed into ONE buffer per launch (each
+        # d2h read costs a tunnel roundtrip); the blocking cost is compute
         with phase("measure/device/wait"):
-            last = np.asarray(lazy[5])  # forces this launch (and all queued before it)
-        with phase("measure/device/drain"):
-            out = tuple(np.asarray(o) for o in lazy[:5]) + (last,)
+            out = _unpack6(np.asarray(lazy))
         offset = 0
         for name, prep in items:
             S = prep.nat.shape[0]
@@ -1041,7 +1102,8 @@ def _dispatch_groups_fused(group_items, pp: PitchParams):
     as-is, where a host-side _group_args pack would re-upload every voice's
     corpus on the measure critical path.
 
-    Returns [(items, lazy 6-tuple outputs)] matching ``group_items``."""
+    Returns [(items, lazy _pack6 output [Sg, 3N+3])] matching
+    ``group_items``."""
     metas = []
     flat_args = []
     for items in group_items:
@@ -1071,7 +1133,7 @@ def _dispatch_groups_fused(group_items, pp: PitchParams):
                     for i in range(len(real_s))
                 ]
                 off += 7 * len(real_s)
-                outs.append(_pack_and_measure(groups, rate, T, T2, N, pp))
+                outs.append(_pack6(_pack_and_measure(groups, rate, T, T2, N, pp)))
             return tuple(outs)
 
         fn = jax.jit(impl)
@@ -1089,7 +1151,7 @@ def _dispatch_group(items, pp: PitchParams):
     returns (items, lazy device outputs)."""
     if len(items) == 1:
         prep = items[0][1]
-        lazy = _measure_device(
+        lazy = _measure_device_packed(
             *_voice_dev_args(prep),
             rate=float(prep.rate), T=int(prep.nat.shape[1]),
             T2=int(prep.raw_for_device.shape[1]), pp=pp,

@@ -186,8 +186,10 @@ class TestPackedGroupDispatch:
         # two voices with different row counts (3 and 2)
         prep_a = self._fake_prep(nat, lens, win, mask, sr)
         prep_b = self._fake_prep(nat[:2] * np.float32(0.8), lens[:2], win[:2], mask[:2], sr)
+        from prosody_control_french_tts_tpu.prosody.measure import _unpack6
+
         items, lazy = _dispatch_group([("a", prep_a), ("b", prep_b)], pp)
-        packed = [np.asarray(o) for o in lazy]
+        packed = list(_unpack6(np.asarray(lazy)))
         offset = 0
         for name, prep in items:
             S = prep.nat.shape[0]
