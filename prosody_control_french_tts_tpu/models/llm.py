@@ -480,36 +480,69 @@ def _fused_rmsnorm(x, scale, eps=1e-6):
     return (x * jax.lax.rsqrt(var + eps).astype(x.dtype)) * scale
 
 
+def init_kv_caches_fused(cfg: LLMConfig, batch: int, max_len: int):
+    """KV caches PACKED as [B, S, kv_heads*hd] for the fused serving path
+    (kv_heads*hd = 128 at the Qwen geometries — exact bf16 lane tiles).
+    The training layout ([B, S, kv_heads, hd], init_kv_caches) leaves the
+    decode attention einsums reading the cache at ~13 % of HBM rate
+    (measured at the bench geometry: ~670 µs attention vs ~375 µs for all
+    61 weight matmuls, which stream at 0.85 of peak); logical reorderings
+    don't move it. The packed layout feeds ops/decode_attn's Pallas
+    kernel, which reads each row once at stream rate; the per-step update
+    stays a [B, 1, C] dynamic_update_slice on the loop-carried buffer."""
+    c = cfg.kv_heads * cfg.head_dim
+    return [
+        (
+            jnp.zeros((batch, max_len, c), cfg.dtype),
+            jnp.zeros((batch, max_len, c), cfg.dtype),
+        )
+        for _ in range(cfg.layers)
+    ]
+
+
 def _fused_forward(fp, cfg: LLMConfig, ids, positions, caches, cache_pos, last_only=False):
-    """One fused-kernel forward over [B, L] ids with KV caches.
+    """One fused-kernel forward over [B, L] ids with KV caches in the
+    packed [B, S, kv_heads*hd] serving layout (init_kv_caches_fused).
     Returns (logits[B, L, V] float32, new_caches). With last_only, the
     LM head runs on the final position only ([B, 1, V]) — greedy decoding
     discards every other row, and at the bench prefill (P=64, V=32k) the
-    full head is ~60× the FLOPs of the one row actually used."""
+    full head is ~60× the FLOPs of the one row actually used.
+
+    Decode steps (L == 1) run attention in ops/decode_attn (Pallas on
+    TPU); prefill keeps the XLA einsum path over an unpacked view."""
+    from ..ops.decode_attn import decode_attention
+
     hd = cfg.head_dim
     nq, nkv = cfg.heads * hd, cfg.kv_heads * hd
     B, L = ids.shape
     x = fp["embed"][ids]
     kl = caches[0][0].shape[1]
-    mask = jnp.arange(kl)[None, None, :] <= positions[:, :, None]
+    group = cfg.heads // cfg.kv_heads
+    if L > 1:
+        mask = jnp.arange(kl)[None, None, :] <= positions[:, :, None]
     new_caches = []
     for lw, (ck, cv) in zip(fp["layers"], caches):
         h = _fused_rmsnorm(x, lw["ln1"])
         qkv = h @ lw["wqkv"] + lw["bqkv"]
         q = qkv[..., :nq].reshape(B, L, cfg.heads, hd)
         k = qkv[..., nq : nq + nkv].reshape(B, L, cfg.kv_heads, hd)
-        v = qkv[..., nq + nkv :].reshape(B, L, cfg.kv_heads, hd)
+        v = qkv[..., nq + nkv :]
         q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
-        k = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
-        v = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
-        new_caches.append((k, v))
-        group = cfg.heads // cfg.kv_heads
-        qg = q.reshape(B, L, cfg.kv_heads, group, hd)
-        att = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) / jnp.sqrt(hd).astype(q.dtype)
-        att = jnp.where(mask[:, None, None, :, :], att, jnp.finfo(att.dtype).min)
-        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhgqk,bkhd->bqhgd", att, v).reshape(B, L, nq)
+        k = rope(k, positions, cfg.rope_theta).reshape(B, L, nkv)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0))
+        new_caches.append((ck, cv))
+        if L == 1:
+            out = decode_attention(q[:, 0], ck, cv, cache_pos, cfg.kv_heads)
+            out = out.reshape(B, 1, nq)
+        else:
+            kk = ck.reshape(B, kl, cfg.kv_heads, hd)
+            vv = cv.reshape(B, kl, cfg.kv_heads, hd)
+            qg = q.reshape(B, L, cfg.kv_heads, group, hd)
+            att = jnp.einsum("blhgd,bkhd->bhglk", qg, kk) / jnp.sqrt(hd).astype(q.dtype)
+            att = jnp.where(mask[:, None, None, :, :], att, jnp.finfo(att.dtype).min)
+            att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhglk,bkhd->blhgd", att, vv).reshape(B, L, nq)
         x = x + out @ lw["wo"]
         h = _fused_rmsnorm(x, lw["ln2"])
         gu = h @ lw["wgu"]
@@ -526,7 +559,7 @@ def _fused_forward(fp, cfg: LLMConfig, ids, positions, caches, cache_pos, last_o
 def _greedy_fused_impl(fp, cfg: LLMConfig, prompt_ids, max_new: int, eos_id: int | None):
     B, P = prompt_ids.shape
     total = P + max_new
-    caches = init_kv_caches(cfg, B, total)
+    caches = init_kv_caches_fused(cfg, B, total)
     if fp["embed"].dtype != cfg.dtype:
         caches = [(k.astype(fp["embed"].dtype), v.astype(fp["embed"].dtype)) for k, v in caches]
 

@@ -17,6 +17,7 @@ from prosody_control_french_tts_tpu.models.llm import (
     greedy_generate,
     greedy_generate_fused,
     init_kv_caches,
+    init_kv_caches_fused,
 )
 
 
@@ -39,8 +40,11 @@ class TestFusedParity:
         caches = init_kv_caches(cfg, 3, 16)
         ref, _ = model.apply(params, ids, positions=pos, kv_caches=caches, cache_pos=0)
         fp = fuse_decode_params(params, cfg, dtype=jnp.float32)
-        got, _ = _fused_forward(fp, cfg, ids, pos, caches, 0)
-        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-6, atol=1e-6)
+        got, _ = _fused_forward(fp, cfg, ids, pos, init_kv_caches_fused(cfg, 3, 16), 0)
+        # the packed serving cache layout ([B,S,kv*hd]) reorders the
+        # attention contractions — f32 reassociation only (observed
+        # ≤1.5e-6 absolute); greedy tokens stay exactly equal (next test)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5)
 
     def test_greedy_tokens_exact_at_f32(self, tiny_f32):
         cfg, model, params, ids = tiny_f32
@@ -63,10 +67,10 @@ class TestFusedParity:
         )
         ref, _ = model.apply(perturbed, ids, positions=pos, kv_caches=caches, cache_pos=0)
         fp = fuse_decode_params(perturbed, cfg, dtype=jnp.float32)
-        got, _ = _fused_forward(fp, cfg, ids, pos, caches, 0)
+        got, _ = _fused_forward(fp, cfg, ids, pos, init_kv_caches_fused(cfg, 3, 16), 0)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5)
         base_fp = fuse_decode_params(params, cfg, dtype=jnp.float32)
-        base, _ = _fused_forward(base_fp, cfg, ids, pos, caches, 0)
+        base, _ = _fused_forward(base_fp, cfg, ids, pos, init_kv_caches_fused(cfg, 3, 16), 0)
         assert np.abs(np.asarray(base) - np.asarray(got)).max() > 1e-3
 
     def test_bf16_tree_halves_weight_bytes(self, tiny_f32):
@@ -83,7 +87,7 @@ class TestFusedParity:
         pos = jnp.broadcast_to(jnp.arange(8), (3, 8))
         caches = init_kv_caches(cfg, 3, 16)
         ref, _ = model.apply(params, ids, positions=pos, kv_caches=caches, cache_pos=0)
-        got, _ = _fused_forward(fp, cfg, ids, pos, caches, 0)
+        got, _ = _fused_forward(fp, cfg, ids, pos, init_kv_caches_fused(cfg, 3, 16), 0)
         r = np.asarray(ref)
         err = np.abs(r - np.asarray(got)).max() / max(np.abs(r).max(), 1e-9)
         assert err < 0.05, err
