@@ -591,14 +591,21 @@ def bench_llm_decode_7b_quant(mode: str = "int8", batch: int = 8, new: int = 32)
     }
 
 
-def bench_serving(n_clients: int = 16, per_client: int = 8) -> dict:
+def bench_serving(n_clients: int = 48, per_client: int = 12) -> dict:
     """HTTP SSML-prediction service under concurrent load (serving/):
     sentences/sec + p50/p99 request latency, micro-batching ON (max_batch
     32) vs OFF (max_batch 1 — the per-request shape of the reference's
     Ollama client, fewshot/model.py:603). Hermetic: random-init break
     tagger at the production geometry on the accelerator (tiny on CPU),
-    loopback HTTP, stdlib clients."""
+    loopback HTTP, stdlib clients.
+
+    Load is sized so batches actually fill (48 sync clients > max_batch
+    32); the r4 run's 51 sent/s / 1.1 s p99 were transport artifacts
+    (HTTP/1.0 reconnect-per-request SYN retransmits + Nagle/delayed-ACK),
+    fixed in serving/predictor.py — batch-fill and queue-vs-compute stats
+    from the MicroBatcher are reported alongside."""
     import http.client
+    import socket
     import threading
 
     from prosody_control_french_tts_tpu.models.bert import BertConfig
@@ -633,16 +640,19 @@ def bench_serving(n_clients: int = 16, per_client: int = 8) -> dict:
         httpd = svc.serve(port=0)
         port = httpd.server_address[1]
         try:
-            # warmup: compile every power-of-two batch bucket directly
-            b = 1
-            while b <= max_batch:
+            # warmup: compile every bucket _predict_batch can produce
+            for b in svc.bucket_sizes():
                 svc._predict_batch(texts[:b])
-                b *= 2
+            svc.batcher.stats.batch_sizes.clear()
+            svc.batcher.stats.compute_s.clear()
+            svc.batcher.stats.queue_s.clear()
             lat: list[float] = []
             lock = threading.Lock()
 
             def client(chunk):
                 conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+                conn.connect()
+                conn.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
                 for t in chunk:
                     body = json.dumps({"text": t})
                     t0 = time.perf_counter()
@@ -669,6 +679,8 @@ def bench_serving(n_clients: int = 16, per_client: int = 8) -> dict:
             out[f"serving_{label}_sentences_per_sec"] = round(len(lat) / wall, 1)
             out[f"serving_{label}_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 1)
             out[f"serving_{label}_p99_ms"] = round(float(np.percentile(lat_ms, 99)), 1)
+            for k, v in svc.batcher.stats.summary().items():
+                out[f"serving_{label}_{k}"] = v
         finally:
             httpd.shutdown()
             svc.batcher.close()

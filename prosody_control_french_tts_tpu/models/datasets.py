@@ -260,9 +260,18 @@ def _chunk_parsed_tokens(tokens: list[dict], max_words: int = 100) -> list[list[
 
 def qwen_b_triples(bdd: dict, max_words: int = 100) -> list[dict]:
     """Stage B triples (x: text+breaks, y: structured full SSML, z:
-    placeholder template), format-identical to the reference's
-    convert_breaks_to_full_ssml (data_formatting_QwenB.py:300-380):
-    break-containing entries only, ~100-word chunks, pretty-printed y/z."""
+    placeholder template) in the reference's convert_breaks_to_full_ssml
+    FORMAT (data_formatting_QwenB.py:300-380): ~100-word chunks,
+    pretty-printed y/z.
+
+    Deliberate composition divergence from the reference: tokens are
+    grouped PER SEGMENT and breakless segments are dropped, where the
+    reference chunks each entry's whole parsed_sequence (chunks may span
+    segments, and breakless chunks survive once the entry has any break).
+    Segment-level grouping keeps every chunk attributable to one audio
+    segment — which our eval joins on — at the cost of dropping breakless
+    segments the reference would keep; the per-triple string FORMAT is
+    unchanged."""
     triples = []
     for voice, entry in bdd.items():
         parsed = entry["y"].get("parsed_sequence") or []

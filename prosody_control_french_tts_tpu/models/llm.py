@@ -345,12 +345,17 @@ def causal_lm_loss(logits, ids, loss_mask):
 
 
 def causal_lm_loss_fused(hidden, head_w, ids, loss_mask, interpret: bool = False):
-    """causal_lm_loss computed by the Pallas fused linear-CE: identical
-    value (gather − logsumexp over head logits), but the [B,L,V] logits
-    tensor never exists in HBM — the kernel sweeps vocab tiles in VMEM
-    (ops/fused_ce). ``hidden`` is the post-ln_f state from
-    ``model.apply(..., return_hidden=True)``; ``head_w`` the raw lm_head
-    kernel [D, V] (frozen in the LoRA step — no dW is ever computed)."""
+    """causal_lm_loss computed by the Pallas fused linear-CE: same
+    gather − logsumexp formula, but the [B,L,V] logits tensor never exists
+    in HBM — the kernel sweeps vocab tiles in VMEM (ops/fused_ce).
+    Numerics: the head matmul runs in ``hidden.dtype`` (bf16 on the train
+    path; accumulation in f32 via preferred_element_type) while the dense
+    ``causal_lm_loss`` path computes lm_head logits in f32, so the two
+    loss_impl values agree only to ~1e-3 rel on TPU — comparable within a
+    run, not across loss_impl switches. ``hidden`` is the post-ln_f state
+    from ``model.apply(..., return_hidden=True)``; ``head_w`` the raw
+    lm_head kernel [D, V] (frozen in the LoRA step — no dW is ever
+    computed)."""
     from ..ops.fused_ce import linear_ce_rows
 
     B, L, D = hidden.shape

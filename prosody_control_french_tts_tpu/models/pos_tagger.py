@@ -361,37 +361,46 @@ class ContextualTagger:
 
     def make_pos_of(self, words: list[str]):
         """Closure for ``ssml.syntagme`` hooks: tags the WHOLE word
-        sequence once, then answers per-token queries positionally.
-        Queries arrive in sequence order (the filters walk forward);
-        repeated tokens resolve to the next unconsumed position."""
+        sequence once, then answers per-token queries POSITIONALLY.
+        The pause filter passes the word index of each query (it only asks
+        about words directly preceding a pause, so token matching alone
+        cannot tell repeated occurrences apart — ADVICE r4); the index
+        resolves the exact occurrence. Index-less queries fall back to a
+        monotonic forward scan."""
         # each "word" from the textgrid may be multi-token; the filters ask
         # about the first token (fr_pos.first_token_pos semantics)
-        first_toks = []
+        first_toks: list[tuple[int, str]] = []
         flat: list[str] = []
         for w in words:
             toks = tokenize_with_elisions(w.strip()) or [""]
             first_toks.append((len(flat), toks[0]))
             flat.extend(toks)
         tags = self.tag_tokens(flat) if flat else []
-        positions: dict[str, list[int]] = {}
-        for idx, (flat_i, tok) in enumerate(first_toks):
-            positions.setdefault(_norm(tok), []).append(flat_i)
-        cursor: dict[str, int] = {}
+        norm_first = [_norm(tok) for _, tok in first_toks]
+        ptr = 0
 
-        def pos_of(query: str) -> str:
+        def pos_of(query: str, word_index: int | None = None) -> str:
+            nonlocal ptr
             toks = tokenize_with_elisions(query.strip())
             if not toks:
                 return "X"
             q = _norm(toks[0])
-            cand = positions.get(q)
-            if not cand:
-                # unseen query (e.g. cleaned differently) — fall back
-                return fr_pos.first_token_pos(query)
-            i = cursor.get(q, 0)
-            flat_i = cand[min(i, len(cand) - 1)]
-            cursor[q] = i + 1
-            tag = tags[flat_i]
-            return tag if tag in FORBIDDEN_TAGS else "X"
+            if word_index is not None and 0 <= word_index < len(norm_first):
+                if norm_first[word_index] == q:
+                    ptr = word_index + 1
+                    tag = tags[first_toks[word_index][0]]
+                    return tag if tag in FORBIDDEN_TAGS else "X"
+                # index/token mismatch (caller cleaned differently) —
+                # fall through to the scan
+            # scan forward from the pointer: queried words arrive in
+            # sequence order
+            for i in range(ptr, len(norm_first)):
+                if norm_first[i] == q:
+                    ptr = i + 1
+                    tag = tags[first_toks[i][0]]
+                    return tag if tag in FORBIDDEN_TAGS else "X"
+            # unseen query (e.g. cleaned differently) — fall back
+            return fr_pos.first_token_pos(query)
 
         return pos_of
 

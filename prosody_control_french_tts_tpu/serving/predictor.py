@@ -68,16 +68,31 @@ class SSMLPredictor:
         self.batcher = MicroBatcher(self._predict_batch, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
     # -- core -----------------------------------------------------------
-    @staticmethod
-    def _bucket(n: int) -> int:
-        """Pad the micro-batch to the next power of two: under live traffic
-        the collected batch size varies per flush, and each distinct leading
-        dimension would be a fresh XLA compile (minutes over a remote
-        tunnel). log2(max_batch) static shapes cover every load level."""
+    def _bucket(self, n: int) -> int:
+        """Pad the micro-batch to the next power of two, clamped to
+        max_batch: under live traffic the collected batch size varies per
+        flush, and each distinct leading dimension would be a fresh XLA
+        compile (minutes over a remote tunnel). log2(max_batch) static
+        shapes cover every load level. The clamp matters for
+        non-power-of-two max_batch (e.g. 24): the batcher never collects
+        more than max_batch, so rounding 17-24 up to 32 would hit a shape
+        no warmup covered (ADVICE r4)."""
         b = 1
         while b < n:
             b *= 2
-        return b
+        return min(b, self.batcher.max_batch)
+
+    def bucket_sizes(self) -> list[int]:
+        """Every leading dimension _predict_batch can produce — the warmup
+        set (powers of two up to max_batch, plus max_batch itself when it
+        is not a power of two)."""
+        sizes = []
+        b = 1
+        while b < self.batcher.max_batch:
+            sizes.append(b)
+            b *= 2
+        sizes.append(self.batcher.max_batch)
+        return sizes
 
     def _predict_batch(self, texts: list[str]) -> list[dict]:
         L = self.cfg.max_len
@@ -158,6 +173,18 @@ class SSMLPredictor:
         svc = self
 
         class Handler(BaseHTTPRequestHandler):
+            # Serving-latency essentials (the r4 bench's 43 ms p50 /
+            # 1.1 s p99 were BOTH transport artifacts, reproduced on CPU):
+            # - HTTP/1.1 keep-alive: the 1.0 default closes the connection
+            #   after every response, so each request pays a TCP handshake;
+            #   a dropped SYN under concurrent load retransmits after ~1 s
+            #   — the entire p99.
+            # - Nagle off + single-write responses: headers and body written
+            #   as separate segments stall ~40 ms on delayed ACK — the
+            #   entire p50 on a sub-ms model.
+            protocol_version = "HTTP/1.1"
+            disable_nagle_algorithm = True
+
             def log_message(self, fmt, *args):
                 log.debug(fmt, *args)
 
@@ -191,7 +218,12 @@ class SSMLPredictor:
         return Handler
 
     def serve(self, port: int = 8090) -> ThreadingHTTPServer:
-        httpd = ThreadingHTTPServer(("0.0.0.0", port), self.make_handler())
+        # socketserver's default listen backlog of 5 resets connections
+        # when more clients connect at once than accept() keeps up with
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = 128
+
+        httpd = _Server(("0.0.0.0", port), self.make_handler())
         th = threading.Thread(target=httpd.serve_forever, daemon=True)
         th.start()
         log.info("SSML prediction service on :%d", httpd.server_address[1])

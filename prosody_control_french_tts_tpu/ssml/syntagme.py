@@ -80,16 +80,35 @@ def filter_function_word_pauses(
     """Drop any pause directly following a DET/ADP/CCONJ/SCONJ/PART/PRON
     word (Code/audioPipeline.py:451-465 — note the reference also advances
     its prev pointer onto the *dropped pause*, so a word after a dropped
-    pause is never itself treated as 'previous word'; replicated here)."""
+    pause is never itself treated as 'previous word'; replicated here).
+
+    Sentence-aware ``pos_of`` callables (``ContextualTagger.make_pos_of``)
+    accept a second ``word_index`` argument so repeated tokens resolve to
+    the exact occurrence being queried, not the next token match."""
+    import inspect
+
+    try:
+        accepts_index = len(inspect.signature(pos_of).parameters) >= 2
+    except (TypeError, ValueError):
+        accepts_index = False
     out: list[SeqItem] = []
     prev: SeqItem | None = None
+    widx = -1  # index of the most recent word item among words only
     for item in seq:
         kind, tok, dur = item
+        if kind == "word":
+            widx += 1
         if kind == "pause" and prev is not None:
             pkind, ptok, _ = prev
-            if pkind == "word" and pos_of(ptok.strip()) in fr_pos.FORBIDDEN:
-                prev = item
-                continue
+            if pkind == "word":
+                tag = (
+                    pos_of(ptok.strip(), widx)
+                    if accepts_index
+                    else pos_of(ptok.strip())
+                )
+                if tag in fr_pos.FORBIDDEN:
+                    prev = item
+                    continue
         out.append(item)
         prev = item
     return out

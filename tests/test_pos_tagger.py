@@ -161,6 +161,30 @@ class TestDownstreamDrift:
         # lexicon drops BOTH (its "son" is always DET)
         assert ("pause", None, 400) not in filter_function_word_pauses(seq)
 
+    def test_pause_filter_skips_unqueried_occurrences(self, tagger):
+        # ADVICE r4 repro: only the word directly before a pause is queried,
+        # so an earlier unqueried occurrence of the same token must NOT
+        # consume the query. First "car" is CCONJ (never queried — no pause
+        # follows it); second "car" is NOUN and precedes the pause: the
+        # positional pointer must resolve the query to the SECOND occurrence
+        # and keep the pause.
+        from prosody_control_french_tts_tpu.ssml.syntagme import (
+            filter_function_word_pauses,
+        )
+
+        seq = [
+            ("word", "car", 200),  # CCONJ — unqueried
+            ("word", "il", 150),
+            ("word", "pleut", 250),
+            ("word", "le", 150),
+            ("word", "car", 300),  # NOUN — queried (precedes the pause)
+            ("pause", None, 400),
+            ("word", "arrive", 500),
+        ]
+        pos_of = tagger.make_pos_of([t for k, t, _ in seq if k == "word"])
+        kept = filter_function_word_pauses(seq, pos_of)
+        assert ("pause", None, 400) in kept
+
     def test_get_pos_backend(self):
         b = get_pos_backend("lexicon")
         assert b.first_token_pos is fr_pos.first_token_pos
