@@ -145,26 +145,135 @@ class CTCAligner:
         return self.params
 
     # -- alignment ------------------------------------------------------------
-    def align(self, audio: Audio, transcript: str | None = None) -> TextGrid:
+    #: fraction of detected speech that word intervals must cover before
+    #: the speech-snap post-pass engages (auto mode)
+    COVERAGE_TARGET = 0.90
+
+    def align(
+        self, audio: Audio, transcript: str | None = None, blank_bias: float | str = "auto"
+    ) -> TextGrid:
+        """Viterbi forced alignment of ``transcript`` to ``audio``.
+
+        A forced alignment must span the audio (Code/Aligners/CTCFA.py:74),
+        but on out-of-distribution audio the Viterbi path parks long
+        stretches of real speech on the inter-word SPACE label (which
+        belongs to no word span), so word intervals covered only ~74 % of
+        detected speech in docs/real_audio_agreement_r04.json — and a blank
+        log-penalty cannot fix it (measured: coverage saturates at 0.78 as
+        the penalty → ∞ because the leak is the space label, not blank).
+        Auto mode therefore gates on coverage: when word intervals cover
+        < COVERAGE_TARGET of detected speech, ``_snap_to_speech`` extends
+        words through the adjacent in-gap speech, splitting runs at silence
+        (the acoustically-defined boundary). In-distribution alignments
+        whose gaps are true silences are untouched by the snap.
+
+        ``blank_bias``: explicit log-penalty subtracted from the blank
+        emission before Viterbi (a float disables auto mode)."""
         if transcript is None:
             raise ValueError("CTCAligner.align needs a transcript (use transcribe for ASR)")
         if self.params is None:
             raise ValueError("CTCAligner has no weights; train or load first")
+        from ..utils.wavio import resample
+
         words = transcript.split()
         labels, spans = self.vocab.word_spans(words)
-        mel = self.features(audio)
+        a16 = audio.to_mono()
+        if a16.rate != self.sample_rate:
+            a16 = resample(a16, self.sample_rate)
+        mel = log_mel(
+            jnp.asarray(np.asarray(a16.samples, np.float32)),
+            self.sample_rate,
+            n_fft=400,
+            hop_length=self.hop,
+            n_mels=self.n_mels,
+        )
         logits = self.model.apply(self.params, mel)
         logp = jax.nn.log_softmax(logits, axis=-1)
+        auto = blank_bias == "auto"
+        b = 0.0 if auto else float(blank_bias)
+        lp = logp if b == 0.0 else logp.at[:, self.vocab.blank].add(-b)
         states, _ = ctc_forced_align(
-            logp,
+            lp,
             jnp.asarray(labels, jnp.int32),
             jnp.int32(logp.shape[0]),
             jnp.int32(len(labels)),
             blank=self.vocab.blank,
         )
         triples = states_to_words(np.asarray(states), labels, spans, self.frame_dt, words)
+        if auto:
+            speech = self._speech_mask(a16)
+            if self._speech_coverage(speech, triples) < self.COVERAGE_TARGET:
+                triples = self._snap_to_speech(triples, speech)
         aligned = [AlignedWord(t0, t1, w) for t0, t1, w in triples]
         return words_to_textgrid(aligned, audio.to_mono().duration_seconds)
+
+    @staticmethod
+    def _speech_mask(a16: Audio) -> np.ndarray:
+        """Boolean per-ms detected-speech grid (the same label-free map
+        eval.real_audio_agreement gates on)."""
+        from ..ops.energy import detect_nonsilent
+
+        x = np.asarray(a16.samples, np.float32)
+        length_ms = max(int(len(x) * 1000 / a16.rate), 1)
+        grid = np.zeros(length_ms, bool)
+        for s, e in detect_nonsilent(x, a16.rate, min_silence_len=180, silence_thresh=-42.0):
+            grid[s:e] = True
+        return grid
+
+    @staticmethod
+    def _speech_coverage(speech: np.ndarray, triples) -> float:
+        if not speech.any():
+            return 1.0
+        word = np.zeros_like(speech)
+        for t0, t1, _ in triples:
+            word[int(t0 * 1000) : int(t1 * 1000)] = True
+        return float((word & speech).sum() / speech.sum())
+
+    #: minimum uncovered speech in a gap (ms) before the snap fills it —
+    #: separates OOD space-label parking (gaps of 500 ms+) from the tens-
+    #: of-ms VAD onset/offset slivers of in-distribution alignments, whose
+    #: boundaries must not move (held-out synthetic error gate)
+    SNAP_MIN_GAP_SPEECH_MS = 150
+
+    @classmethod
+    def _snap_to_speech(cls, triples, speech: np.ndarray):
+        """Extend word intervals through adjacent in-gap speech.
+
+        For gaps holding ≥ SNAP_MIN_GAP_SPEECH_MS of uncovered speech,
+        every speech ms is assigned to the nearer word; a silence run
+        inside the gap stays unassigned, so the extended boundaries land
+        on silence edges. Leading/trailing speech contiguous with the
+        first/last word is absorbed likewise. Gaps that are true silences
+        or sliver-sized (the in-distribution case) are untouched."""
+        n_ms = len(speech)
+
+        def gap_speech_ms(a: int, b: int) -> int:
+            a, b = max(a, 0), min(b, n_ms)
+            return int(speech[a:b].sum()) if b > a else 0
+
+        out = []
+        for i, (t0, t1, w) in enumerate(triples):
+            s_ms, e_ms = int(t0 * 1000), int(t1 * 1000)
+            prev_e = int(triples[i - 1][1] * 1000) if i > 0 else 0
+            next_s = int(triples[i + 1][0] * 1000) if i + 1 < len(triples) else n_ms
+            j = s_ms
+            if gap_speech_ms(prev_e, s_ms) >= cls.SNAP_MIN_GAP_SPEECH_MS or (
+                i == 0 and gap_speech_ms(0, s_ms) >= cls.SNAP_MIN_GAP_SPEECH_MS
+            ):
+                # backward: through speech down to the gap's split point
+                lo = prev_e if i > 0 else 0
+                split = (prev_e + s_ms) // 2 if i > 0 else 0
+                while j > lo and j - 1 < n_ms and speech[j - 1] and (i == 0 or j > split):
+                    j -= 1
+            k = e_ms
+            if gap_speech_ms(e_ms, next_s) >= cls.SNAP_MIN_GAP_SPEECH_MS:
+                # forward: through speech up to the gap's split point
+                hi = next_s if i + 1 < len(triples) else n_ms
+                split_f = (e_ms + next_s) // 2 if i + 1 < len(triples) else n_ms
+                while k < hi and k < n_ms and speech[k] and (i + 1 == len(triples) or k < split_f):
+                    k += 1
+            out.append((j / 1000.0, k / 1000.0, w))
+        return out
 
     def transcribe(self, audio: Audio) -> str:
         """Greedy CTC decode (collapse repeats, drop blanks)."""
