@@ -148,6 +148,10 @@ class CTCAligner:
     #: fraction of detected speech that word intervals must cover before
     #: the speech-snap post-pass engages (auto mode)
     COVERAGE_TARGET = 0.90
+    #: mean per-frame Viterbi emission log-prob below which the alignment
+    #: counts as out-of-distribution (measured: in-distribution synthetic
+    #: scores −0.16…−0.62/frame, the bundled real French −2.8…−3.2)
+    OOD_SCORE_PER_FRAME = -1.5
 
     def align(
         self, audio: Audio, transcript: str | None = None, blank_bias: float | str = "auto"
@@ -161,11 +165,14 @@ class CTCAligner:
         detected speech in docs/real_audio_agreement_r04.json — and a blank
         log-penalty cannot fix it (measured: coverage saturates at 0.78 as
         the penalty → ∞ because the leak is the space label, not blank).
-        Auto mode therefore gates on coverage: when word intervals cover
-        < COVERAGE_TARGET of detected speech, ``_snap_to_speech`` extends
-        words through the adjacent in-gap speech, splitting runs at silence
-        (the acoustically-defined boundary). In-distribution alignments
-        whose gaps are true silences are untouched by the snap.
+        Auto mode detects OOD input by the Viterbi path's mean per-frame
+        emission log-prob (OOD_SCORE_PER_FRAME — the in/out distributions
+        are separated by >2 nats/frame) and, when the alignment is OOD and
+        covers < COVERAGE_TARGET of detected speech, ``_snap_to_speech``
+        extends words through the in-gap speech, splitting runs at silence
+        (the acoustically-defined boundary). In-distribution alignments are
+        never touched, keeping the held-out synthetic boundary error bit-
+        identical.
 
         ``blank_bias``: explicit log-penalty subtracted from the blank
         emission before Viterbi (a float disables auto mode)."""
@@ -192,7 +199,7 @@ class CTCAligner:
         auto = blank_bias == "auto"
         b = 0.0 if auto else float(blank_bias)
         lp = logp if b == 0.0 else logp.at[:, self.vocab.blank].add(-b)
-        states, _ = ctc_forced_align(
+        states, score = ctc_forced_align(
             lp,
             jnp.asarray(labels, jnp.int32),
             jnp.int32(logp.shape[0]),
@@ -200,7 +207,7 @@ class CTCAligner:
             blank=self.vocab.blank,
         )
         triples = states_to_words(np.asarray(states), labels, spans, self.frame_dt, words)
-        if auto:
+        if auto and float(score) / max(logp.shape[0], 1) < self.OOD_SCORE_PER_FRAME:
             speech = self._speech_mask(a16)
             if self._speech_coverage(speech, triples) < self.COVERAGE_TARGET:
                 triples = self._snap_to_speech(triples, speech)
@@ -229,11 +236,10 @@ class CTCAligner:
             word[int(t0 * 1000) : int(t1 * 1000)] = True
         return float((word & speech).sum() / speech.sum())
 
-    #: minimum uncovered speech in a gap (ms) before the snap fills it —
-    #: separates OOD space-label parking (gaps of 500 ms+) from the tens-
-    #: of-ms VAD onset/offset slivers of in-distribution alignments, whose
-    #: boundaries must not move (held-out synthetic error gate)
-    SNAP_MIN_GAP_SPEECH_MS = 150
+    #: minimum uncovered speech in a gap (ms) before the snap fills it
+    #: (only OOD-scored alignments reach the snap at all, so this is just
+    #: a guard against sub-perceptual extensions)
+    SNAP_MIN_GAP_SPEECH_MS = 30
 
     @classmethod
     def _snap_to_speech(cls, triples, speech: np.ndarray):
@@ -244,7 +250,7 @@ class CTCAligner:
         inside the gap stays unassigned, so the extended boundaries land
         on silence edges. Leading/trailing speech contiguous with the
         first/last word is absorbed likewise. Gaps that are true silences
-        or sliver-sized (the in-distribution case) are untouched."""
+        are untouched."""
         n_ms = len(speech)
 
         def gap_speech_ms(a: int, b: int) -> int:

@@ -136,16 +136,14 @@ _RULES: list[tuple[re.Pattern, list[str]]] = [
 ]
 
 
-def g2p_word(word: str) -> list[str]:
-    """Phoneme list for one French word (lowercased, NFC-normalized).
-
-    Deterministic longest-match scan over `_RULES`; intervocalic single
-    ``s`` voiced to /z/ ("maison" → m ɛ z ɔ̃). Unknown characters are
-    dropped (the reference's eSpeak call is similarly total —
-    enrichir_dictionnaire.py:24-31 never fails a word).
-    """
+def g2p_word_spans(word: str) -> list[tuple[int, int, list[str]]]:
+    """Like ``g2p_word`` but keeps the letter provenance: a list of
+    (char_start, char_end, phones) over the NFC-normalized lowercased word,
+    in scan order (``g2p_word`` is exactly the concatenation of the phone
+    lists — it delegates here, so the two can never drift). Used by the
+    formant synthesizer to map phoneme timing back to character spans."""
     w = unicodedata.normalize("NFC", word.lower().strip())
-    out: list[str] = []
+    out: list[tuple[int, int, list[str]]] = []
     i = 0
     while i < len(w):
         # intervocalic s → z (but not ss, handled earlier in rules scan)
@@ -155,33 +153,51 @@ def g2p_word(word: str) -> list[str]:
             and w[i - 1] in _VOWEL_LETTERS
             and w[i + 1] in _VOWEL_LETTERS
         ):
-            out.append("z")
+            out.append((i, i + 1, ["z"]))
             i += 1
             continue
         for rx, phones in _RULES:
             m = rx.match(w, i)
             if m:
-                out.extend(phones)
-                i = max(m.end(), i + 1)
+                j = max(m.end(), i + 1)
+                out.append((i, j, list(phones)))
+                i = j
                 break
         else:
+            out.append((i, i + 1, []))
             i += 1  # unknown char: skip
     # French has no phonemic geminates: collapse doubled consonants
     # ("guerre" → ɡ ɛ ʁ, "belle" → b ɛ l)
-    dedup: list[str] = []
-    for p in out:
-        if dedup and dedup[-1] == p and p in CONSONANTS:
-            continue
-        dedup.append(p)
-    out = dedup
+    last: str | None = None
+    for _, _, phones in out:
+        k = 0
+        while k < len(phones):
+            if last == phones[k] and phones[k] in CONSONANTS:
+                del phones[k]
+                continue
+            last = phones[k]
+            k += 1
     # monosyllabic clitics ("le", "que"): the final e IS pronounced — restore
     # the schwa when dropping it left the word without any vowel
     vowels = set(VOWELS_ORAL + VOWELS_NASAL)
-    if w.endswith("e") and out and not any(p in vowels for p in out):
-        out.append("ə")
-    if not out and w:  # never return empty for a non-empty word
-        out = ["ə"]
+    flat = [p for _, _, ph in out for p in ph]
+    if w.endswith("e") and flat and not any(p in vowels for p in flat):
+        out.append((len(w) - 1, len(w), ["ə"]))
+        flat.append("ə")
+    if not flat and w:  # never return empty for a non-empty word
+        out.append((0, len(w), ["ə"]))
     return out
+
+
+def g2p_word(word: str) -> list[str]:
+    """Phoneme list for one French word (lowercased, NFC-normalized).
+
+    Deterministic longest-match scan over `_RULES`; intervocalic single
+    ``s`` voiced to /z/ ("maison" → m ɛ z ɔ̃). Unknown characters are
+    dropped (the reference's eSpeak call is similarly total —
+    enrichir_dictionnaire.py:24-31 never fails a word).
+    """
+    return [p for _, _, phones in g2p_word_spans(word) for p in phones]
 
 
 # -------------------------------------------------------------------------
