@@ -211,9 +211,16 @@ def main(argv: list[str] | None = None):
         ap.add_argument("--sentences", type=int, default=1536)
         ap.add_argument("--epochs", type=int, default=12)
         ap.add_argument("--batch", type=int, default=16)
+        ap.add_argument(
+            "--domain", default="mixed", choices=("synth", "formant", "mixed")
+        )
         args = ap.parse_args(rest)
         _, err_ms, acc = pretrain(
-            args.out, n_sentences=args.sentences, epochs=args.epochs, batch=args.batch
+            args.out,
+            n_sentences=args.sentences,
+            epochs=args.epochs,
+            batch=args.batch,
+            domain=args.domain,
         )
         print(f"held-out boundary error {err_ms:.1f} ms, word acc {acc:.3f} -> {args.out}")
         return 0

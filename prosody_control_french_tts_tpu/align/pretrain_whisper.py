@@ -84,8 +84,34 @@ def _byte_char_spans(sent: str, char_spans) -> list[tuple[float, float]] | None:
     return out
 
 
+def _domain_synth(domain: str):
+    """Per-sentence (synth_fn, spec) cycle for a training domain:
+
+    - "synth": the compositional charset synthesizer (round-3 checkpoint);
+    - "formant": the narrator-matched formant synthesizer
+      (align.formant_speech — VERDICT r4 #1);
+    - "mixed": alternate both, so one model keeps the compositional
+      held-out gates green AND learns real-speech-like acoustics."""
+    from . import formant_speech
+
+    comp = (synth_sentence, SynthSpec())
+    form = (formant_speech.synth_sentence, formant_speech.FormantSpec())
+    if domain == "synth":
+        return [comp]
+    if domain == "formant":
+        return [form]
+    if domain == "mixed":
+        return [comp, form]
+    raise ValueError(f"unknown domain {domain!r}")
+
+
 def _prep_batches(
-    al: WhisperAligner, sentences: list[str], spec: SynthSpec, batch: int, seed: int
+    al: WhisperAligner,
+    sentences: list[str],
+    spec: SynthSpec,
+    batch: int,
+    seed: int,
+    synth_fns=None,
 ):
     """Host-side prep → fixed-shape arrays:
     mel [B, 2·ctx, n_mels], ids [B, L] (eot-padded), n_text [B],
@@ -106,8 +132,11 @@ def _prep_batches(
     max_mel = cfg.n_audio_ctx * 2
     want = max_mel * HOP
     waves, ids_all, n_all, tgt_all = [], [], [], []
+    if synth_fns is None:
+        synth_fns = [(synth_sentence, spec)]
     for i, sent in enumerate(sentences):
-        audio, _, chars = synth_sentence(sent, spec, seed=seed + i, with_chars=True)
+        fn, sp = synth_fns[i % len(synth_fns)]
+        audio, _, chars = fn(sent, sp, seed=seed + i, with_chars=True)
         spans = _byte_char_spans(sent, chars)
         ids = tok.encode(sent)  # [sot] + bytes + [eot]
         if spans is None or len(ids) > L or audio.shape[0] > want:
@@ -179,18 +208,24 @@ def _make_step(model: WhisperModel, lr: float, total_steps: int, att_weight: flo
 
 
 def boundary_error_ms(
-    al: WhisperAligner, sentences: list[str], spec: SynthSpec, seed: int = 10_000
+    al: WhisperAligner,
+    sentences: list[str],
+    spec: SynthSpec,
+    seed: int = 10_000,
+    synth_fn=None,
 ) -> tuple[float, float]:
     """(mean |word-boundary error| ms, word accuracy) on freshly synthesized
     sentences, through the transcript-FREE production path (greedy KV-cache
     transcribe + cross-attention DTW). Words are matched by sequence
     alignment (difflib, the WER convention) so one inserted/dropped word
-    costs itself, not every word after it."""
+    costs itself, not every word after it. ``synth_fn`` picks the gold
+    generator (default: the compositional synthesizer)."""
     from difflib import SequenceMatcher
 
+    synth = synth_fn or synth_sentence
     errs, hit, total = [], 0, 0
     for i, sent in enumerate(sentences):
-        audio, gold = synth_sentence(sent, spec, seed=seed + i)
+        audio, gold = synth(sent, spec, seed=seed + i)
         tg = al.align(Audio(audio, spec.sample_rate))
         words = [(iv.min_time, iv.max_time, iv.mark) for iv in tg.tiers[0] if iv.mark.strip()]
         total += len(gold)
@@ -219,15 +254,23 @@ def pretrain(
     seed: int = 0,
     target_boundary_ms: float = 60.0,
     target_word_acc: float = 0.9,
+    domain: str = "mixed",
+    target_formant_word_acc: float = 0.7,
 ) -> tuple[WhisperAligner, float, float]:
     """Train, gate on held-out boundary error + word accuracy (both through
-    the no-transcript production path), save the f16 checkpoint directory."""
+    the no-transcript production path), save the f16 checkpoint directory.
+
+    ``domain="mixed"`` (default since round 5) interleaves the
+    compositional synthesizer with the narrator-matched formant
+    synthesizer; the checkpoint must then clear the compositional gates
+    AND a formant-domain word-accuracy gate."""
     spec = SynthSpec()
     cfg = synth_fr_config()
     tok = byte_level_french()
     al = WhisperAligner(cfg, tokenizer=tok)
     sentences = sample_sentences(n_sentences, seed=seed)
-    mel, ids, n_text, att_target = _prep_batches(al, sentences, spec, batch, seed)
+    synth_fns = _domain_synth(domain)
+    mel, ids, n_text, att_target = _prep_batches(al, sentences, spec, batch, seed, synth_fns)
     log.info("pretraining whisper on %d sentences, mel %s", mel.shape[0], mel.shape)
     model = al.model
     params = model.init(
@@ -266,14 +309,26 @@ def pretrain(
     holdout = sample_sentences(32, seed=seed + 777)
     err_ms, acc = boundary_error_ms(al, holdout, spec)
     log.info("held-out boundary error: %.1f ms, word accuracy %.3f", err_ms, acc)
+    form_acc = 1.0
+    if domain in ("mixed", "formant"):
+        from . import formant_speech
+
+        _, form_acc = boundary_error_ms(
+            al,
+            sample_sentences(32, seed=seed + 778),
+            formant_speech.FormantSpec(),
+            synth_fn=formant_speech.synth_sentence,
+        )
+        log.info("held-out formant-domain word accuracy %.3f", form_acc)
     out_dir = Path(out_dir)
-    if err_ms > target_boundary_ms or acc < target_word_acc:
+    if err_ms > target_boundary_ms or acc < target_word_acc or form_acc < target_formant_word_acc:
         # keep the rejected weights inspectable, never in the packaged dir
         failed = out_dir.parent / (out_dir.name + ".failed")
         al.save_pretrained(failed)
         raise RuntimeError(
             f"gate failed: boundary {err_ms:.1f} ms (≤{target_boundary_ms}), "
-            f"word acc {acc:.3f} (≥{target_word_acc}); weights at {failed}"
+            f"word acc {acc:.3f} (≥{target_word_acc}), "
+            f"formant acc {form_acc:.3f} (≥{target_formant_word_acc}); weights at {failed}"
         )
     al.save_pretrained(out_dir)
     size = sum(f.stat().st_size for f in out_dir.iterdir())

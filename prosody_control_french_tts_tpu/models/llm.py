@@ -480,6 +480,56 @@ def fuse_decode_params(params, cfg: LLMConfig, dtype=jnp.bfloat16):
     }
 
 
+def quantize_fused_decode_params(fp, block: int = 64, mode: str = "int8b"):
+    """Fused serving tree → int8 weight stream.
+
+    Every streamed matmul weight (wqkv, wo, wgu, wdown per layer, plus
+    lm_head) becomes {"codes": int8 [K, N], "scale": f32 [K/block, N]}
+    (mode="int8b", blockwise — quant.matmul_int8_block partial path) or
+    {"codes": int8 [K, N], "scale": f32 [N]} (mode="int8", per-output-
+    channel — XLA hoists the scale out of the dot, so the stream runs at
+    the dense dot's efficiency); embed, biases and norm scales stay float.
+    Decode steps then read ~1 byte/param instead of 2. Host-side numpy
+    quantization: no device-memory spike."""
+    from .quant import quantize_kernel_int8, quantize_kernel_int8_block
+
+    def q2(w):
+        if mode == "int8":
+            q, s = quantize_kernel_int8(np.asarray(w, np.float32))
+        else:
+            q, s = quantize_kernel_int8_block(np.asarray(w, np.float32), block)
+        return {"codes": jnp.asarray(q), "scale": jnp.asarray(s)}
+
+    layers = [
+        {
+            **lw,
+            "wqkv": q2(lw["wqkv"]),
+            "wo": q2(lw["wo"]),
+            "wgu": q2(lw["wgu"]),
+            "wdown": q2(lw["wdown"]),
+        }
+        for lw in fp["layers"]
+    ]
+    return {**fp, "layers": layers, "lm_head": q2(fp["lm_head"])}
+
+
+def _fused_mm(x, w):
+    """x @ w for a fused-tree weight: plain array (bf16 stream) or the
+    int8b dict from quantize_fused_decode_params — decode-row counts take
+    quant.matmul_int8_block's partial path (scales applied to f32 partial
+    sums, weight stream at the codes' byte rate); prefill falls back to
+    dense dequant inside the same helper (MXU-bound there)."""
+    if isinstance(w, dict):
+        if w["scale"].ndim == 1:  # per-channel: XLA hoists the scale
+            y = jnp.dot(x, w["codes"].astype(x.dtype))
+            return (y * w["scale"].astype(jnp.float32)).astype(x.dtype)
+        from .quant import matmul_int8_block
+
+        block = w["codes"].shape[0] // w["scale"].shape[0]
+        return matmul_int8_block(x, w["codes"], w["scale"], x.dtype, block)
+    return x @ w
+
+
 def _fused_rmsnorm(x, scale, eps=1e-6):
     var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
     return (x * jax.lax.rsqrt(var + eps).astype(x.dtype)) * scale
@@ -528,7 +578,7 @@ def _fused_forward(fp, cfg: LLMConfig, ids, positions, caches, cache_pos, last_o
     new_caches = []
     for lw, (ck, cv) in zip(fp["layers"], caches):
         h = _fused_rmsnorm(x, lw["ln1"])
-        qkv = h @ lw["wqkv"] + lw["bqkv"]
+        qkv = _fused_mm(h, lw["wqkv"]) + lw["bqkv"]
         q = qkv[..., :nq].reshape(B, L, cfg.heads, hd)
         k = qkv[..., nq : nq + nkv].reshape(B, L, cfg.kv_heads, hd)
         v = qkv[..., nq + nkv :]
@@ -548,15 +598,15 @@ def _fused_forward(fp, cfg: LLMConfig, ids, positions, caches, cache_pos, last_o
             att = jnp.where(mask[:, None, None, :, :], att, jnp.finfo(att.dtype).min)
             att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
             out = jnp.einsum("bhglk,bkhd->blhgd", att, vv).reshape(B, L, nq)
-        x = x + out @ lw["wo"]
+        x = x + _fused_mm(out, lw["wo"])
         h = _fused_rmsnorm(x, lw["ln2"])
-        gu = h @ lw["wgu"]
+        gu = _fused_mm(h, lw["wgu"])
         g, u = gu[..., : cfg.ffn], gu[..., cfg.ffn :]
-        x = x + (jax.nn.silu(g) * u) @ lw["wdown"]
+        x = x + _fused_mm(jax.nn.silu(g) * u, lw["wdown"])
     if last_only:
         x = x[:, -1:]
     x = _fused_rmsnorm(x, fp["ln_f"])
-    logits = (x @ fp["lm_head"]).astype(jnp.float32)
+    logits = _fused_mm(x, fp["lm_head"]).astype(jnp.float32)
     return logits, new_caches
 
 

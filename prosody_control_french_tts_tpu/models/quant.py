@@ -80,6 +80,24 @@ def dequant_int8(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def quantize_kernel_int8_block(
+    w: np.ndarray, block: int = NF4_BLOCK
+) -> tuple[np.ndarray, np.ndarray]:
+    """f32 [in, out] → (int8 [in, out], f32 scale [in/block, out]) with
+    symmetric absmax per (contraction-block, output-column) — the direct
+    quantizer for the int8b serving layout (recode_nf4_to_int8_block
+    produces the same layout FROM an NF4 checkpoint; this one quantizes a
+    float kernel straight to it, for serving stages fine-tuned in float)."""
+    w = np.asarray(w, np.float32)
+    in_f, out_f = w.shape
+    if in_f % block:
+        raise ValueError(f"in_features {in_f} not divisible by block {block}")
+    wb = w.reshape(in_f // block, block, out_f)
+    scale = np.maximum(np.abs(wb).max(axis=1), 1e-12) / 127.0  # [nb, out]
+    q = np.clip(np.rint(wb / scale[:, None, :]), -127, 127).astype(np.int8)
+    return q.reshape(in_f, out_f), scale.astype(np.float32)
+
+
 def dequant_int8_block(
     q: jnp.ndarray, scale: jnp.ndarray, dtype, block: int = NF4_BLOCK
 ) -> jnp.ndarray:

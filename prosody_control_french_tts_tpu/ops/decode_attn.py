@@ -35,27 +35,33 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["decode_attention", "decode_attention_reference"]
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, kv_heads, group, hd, S):
+def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, kv_heads, group, hd, S, rows):
     pos = pos_ref[0]
     scale = 1.0 / float(np.sqrt(hd))
-    live = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) <= pos  # [S, 1]
-    for hh in range(kv_heads):
-        kb = k_ref[0, :, hh * hd : (hh + 1) * hd]  # [S, hd]
-        vb = v_ref[0, :, hh * hd : (hh + 1) * hd]  # [S, hd]
-        qh = q_ref[0, hh * group : (hh + 1) * group, :]  # [group, hd]
-        # scores[s, g] = k[s] . q[g] — contraction on hd keeps S on
-        # sublanes, so the softmax reduction below is a lane-local max
-        scores = jax.lax.dot_general(
-            kb, qh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        scores = jnp.where(live, scores * scale, -1e30)
-        m = jnp.max(scores, axis=0, keepdims=True)
-        p = jnp.exp(scores - m)
-        p = (p / jnp.sum(p, axis=0, keepdims=True)).astype(vb.dtype)
-        outh = jax.lax.dot_general(
-            p, vb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [group, hd]
-        o_ref[0, hh * group : (hh + 1) * group, :] = outh.astype(o_ref.dtype)
+    live = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) <= pos  # [1, S]
+    # Scores are laid out [group, S] so the cache length S rides the
+    # 128-lane axis — the original [S, group] layout put group (= 7 at the
+    # bench geometry) on lanes, wasting 95 % of every VPU/MXU op, which
+    # made the kernel COMPUTE-bound at 187 µs/call vs 137 µs for the XLA
+    # einsum. Multiple batch rows per program amortize the per-grid-step
+    # fixed cost on top.
+    for r in range(rows):
+        for hh in range(kv_heads):
+            kb = k_ref[r, :, hh * hd : (hh + 1) * hd]  # [S, hd]
+            vb = v_ref[r, :, hh * hd : (hh + 1) * hd]  # [S, hd]
+            qh = q_ref[r, hh * group : (hh + 1) * group, :]  # [group, hd]
+            # scores[g, s] = q[g] . k[s] — contraction on hd, S on lanes
+            scores = jax.lax.dot_general(
+                qh, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [group, S]
+            scores = jnp.where(live, scores * scale, -1e30)
+            m = jnp.max(scores, axis=1, keepdims=True)
+            p = jnp.exp(scores - m)
+            p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(vb.dtype)
+            outh = jax.lax.dot_general(
+                p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [group, hd]
+            o_ref[r, hh * group : (hh + 1) * group, :] = outh.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("kv_heads", "interpret"))
@@ -63,17 +69,18 @@ def _pallas_call(q, kc, vc, pos, kv_heads: int, interpret: bool):
     B, H, hd = q.shape
     S = kc.shape[1]
     group = H // kv_heads
+    rows = next(r for r in (8, 4, 2, 1) if B % r == 0)
     return pl.pallas_call(
-        functools.partial(_kernel, kv_heads=kv_heads, group=group, hd=hd, S=S),
+        functools.partial(_kernel, kv_heads=kv_heads, group=group, hd=hd, S=S, rows=rows),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B,),
+            grid=(B // rows,),
             in_specs=[
-                pl.BlockSpec((1, H, hd), lambda b, pos: (b, 0, 0)),
-                pl.BlockSpec((1, S, kv_heads * hd), lambda b, pos: (b, 0, 0)),
-                pl.BlockSpec((1, S, kv_heads * hd), lambda b, pos: (b, 0, 0)),
+                pl.BlockSpec((rows, H, hd), lambda b, pos: (b, 0, 0)),
+                pl.BlockSpec((rows, S, kv_heads * hd), lambda b, pos: (b, 0, 0)),
+                pl.BlockSpec((rows, S, kv_heads * hd), lambda b, pos: (b, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, H, hd), lambda b, pos: (b, 0, 0)),
+            out_specs=pl.BlockSpec((rows, H, hd), lambda b, pos: (b, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, hd), q.dtype),
         interpret=interpret,

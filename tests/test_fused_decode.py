@@ -99,3 +99,61 @@ class TestFusedParity:
         params = model.init(jax.random.PRNGKey(0), ids)
         with pytest.raises(ValueError, match="quantized"):
             fuse_decode_params(params, cfg)
+
+
+class TestQuantizedFusedDecode:
+    """int8b weight stream over the fused serving tree
+    (quantize_fused_decode_params): the bench-geometry decode roofline
+    path. Contract: the quantized tree's outputs match the SAME fused
+    forward run on the dense-dequantized weights — quantization error is
+    fixed by the codes; the partial-sum path adds only f32 reassociation."""
+
+    def _trees(self, tiny_f32, block=32):
+        from prosody_control_french_tts_tpu.models.llm import (
+            quantize_fused_decode_params,
+        )
+        from prosody_control_french_tts_tpu.models.quant import dequant_int8_block
+
+        cfg, model, params, ids = tiny_f32
+        fp = fuse_decode_params(params, cfg, dtype=jnp.float32)
+        fq = quantize_fused_decode_params(fp, block=block)
+
+        def deq(w):
+            if isinstance(w, dict):
+                return dequant_int8_block(w["codes"], w["scale"], jnp.float32, block)
+            return w
+
+        fdq = {
+            **fq,
+            "lm_head": deq(fq["lm_head"]),
+            "layers": [{k: deq(v) for k, v in lw.items()} for lw in fq["layers"]],
+        }
+        return cfg, fq, fdq, ids
+
+    def test_decode_step_matches_dequantized(self, tiny_f32):
+        cfg, fq, fdq, ids = self._trees(tiny_f32)
+        B = ids.shape[0]
+        caches = init_kv_caches_fused(cfg, B, 16)
+        caches = [(k.astype(jnp.float32), v.astype(jnp.float32)) for k, v in caches]
+        pos = jnp.full((B, 1), 0)
+        ref, _ = _fused_forward(fdq, cfg, ids[:, :1], pos, caches, 0)
+        got, _ = _fused_forward(fq, cfg, ids[:, :1], pos, caches, 0)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-4, atol=1e-4)
+
+    def test_greedy_tokens_match_dequantized(self, tiny_f32):
+        cfg, fq, fdq, ids = self._trees(tiny_f32)
+        ref = np.asarray(greedy_generate_fused(fdq, cfg, ids, max_new=10))
+        got = np.asarray(greedy_generate_fused(fq, cfg, ids, max_new=10))
+        assert (ref == got).all()
+
+    def test_stream_bytes_near_one_per_param(self, tiny_f32):
+        from prosody_control_french_tts_tpu.models.llm import (
+            quantize_fused_decode_params,
+        )
+
+        cfg, model, params, ids = tiny_f32
+        fp = fuse_decode_params(params, cfg, dtype=jnp.float32)
+        fq = quantize_fused_decode_params(fp, block=32)
+        w = fq["layers"][0]["wqkv"]
+        assert w["codes"].dtype == jnp.int8
+        assert w["scale"].shape == (w["codes"].shape[0] // 32, w["codes"].shape[1])
