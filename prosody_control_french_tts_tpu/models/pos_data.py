@@ -221,9 +221,13 @@ TEMPLATES: list[list[tuple[str, str]]] = [
         "le/DET son/NOUN de/ADP la/DET {Nf} est/AUX {Am}",
         "un/DET son/NOUN {Am} {V}",
         "le/DET son/NOUN {V} dans/ADP la/DET {Nf}",
+        "son/DET {Nm} aime/VERB le/DET son/NOUN {Am}",
+        "il/PRON règle/VERB le/DET son/NOUN avant/ADP le/DET {Nm}",
         # --- or : CCONJ vs NOUN ------------------------------------------
         "or/CCONJ ,/PUNCT il/PRON {V}",
         "or/CCONJ ,/PUNCT la/DET {Nf} est/AUX {Af}",
+        "or/CCONJ personne/PRON ne/PART {V}",
+        "or/CCONJ il/PRON ne/PART {V} pas/ADV",
         "l'/DET or/NOUN brille/VERB {Adv}",
         "un/DET bijou/NOUN en/ADP or/NOUN",
         "l'/DET or/NOUN est/AUX {Am}",
@@ -234,6 +238,11 @@ TEMPLATES: list[list[tuple[str, str]]] = [
         "le/DET car/NOUN arrive/VERB a/ADP {City}",
         "un/DET car/NOUN {Am} passe/VERB",
         "le/DET car/NOUN est/AUX parti/VERB",
+        "le/DET car/NOUN attend/VERB devant/ADP la/DET {Nf}",
+        # both readings in ONE sentence — the repeated-form case the
+        # pause filter hits (ADVICE r4 / golden sentence 7)
+        "car/CCONJ il/PRON pleut/VERB le/DET car/NOUN attend/VERB",
+        "il/PRON {V} car/CCONJ le/DET car/NOUN est/AUX parti/VERB",
         # --- personne : PRON vs NOUN -------------------------------------
         "personne/PRON ne/PART {V}",
         "il/PRON ne/PART voit/VERB personne/PRON",
@@ -249,10 +258,16 @@ TEMPLATES: list[list[tuple[str, str]]] = [
         "elle/PRON chante/VERB tout/ADV bas/ADV",
         "tout/PRON va/VERB bien/ADV",
         "il/PRON a/AUX tout/PRON {PP}",
+        "le/DET tout/NOUN forme/VERB une/DET {Nf}",
+        "le/DET tout/NOUN est/AUX {Am}",
+        "il/PRON a/AUX tout/PRON {PP} pour/ADP la/DET {Nf}",
+        "elle/PRON a/AUX tout/PRON {PP} ici/ADV",
         # --- si : SCONJ vs intensifier ADV -------------------------------
         "si/SCONJ tu/PRON viens/VERB ,/PUNCT je/PRON {V}",
         "il/PRON demande/VERB si/SCONJ elle/PRON dort/VERB",
         "si/SCONJ la/DET {Nf} {V} ,/PUNCT on/PRON part/VERB",
+        "si/SCONJ le/DET {Nm} {V} il/PRON {V}",
+        "si/SCONJ elle/PRON {V} nous/PRON partons/VERB",
         "le/DET {Nm} est/AUX si/ADV {Am}",
         "elle/PRON chante/VERB si/ADV bien/ADV",
         "une/DET {Nf} si/ADV {Af}",
@@ -261,12 +276,16 @@ TEMPLATES: list[list[tuple[str, str]]] = [
         "soit/CCONJ lundi/NOUN soit/CCONJ mardi/NOUN",
         "il/PRON faut/VERB qu'/SCONJ il/PRON soit/AUX là/ADV",
         "bien/ADV qu'/SCONJ elle/PRON soit/AUX {Af}",
+        "il/PRON faut/VERB que/SCONJ la/DET {Nf} soit/AUX {Af}",
+        "on/PRON veut/VERB que/SCONJ le/DET {Nm} soit/AUX {Am}",
         # --- avant / après : ADP vs ADV ----------------------------------
         "avant/ADP le/DET {Nm} ,/PUNCT on/PRON {V}",
         "avant/ADP la/DET nuit/NOUN ,/PUNCT il/PRON {V}",
         "il/PRON est/AUX parti/VERB avant/ADV",
         "elle/PRON arrive/VERB après/ADP le/DET {Nm}",
         "on/PRON verra/VERB après/ADV",
+        "elle/PRON arrive/VERB peu/ADV après/ADV",
+        "il/PRON {V} peu/ADV avant/ADV",
         "l'/DET avant/NOUN du/ADP bateau/NOUN est/AUX {Am}",
         # --- pendant / devant / derrière ---------------------------------
         "pendant/ADP la/DET {Nf} ,/PUNCT {Prop} {V}",

@@ -52,6 +52,26 @@ PACKAGED_WEIGHTS = Path(__file__).parent / "pretrained" / "pos_fr.npz"
 MAX_LEN = 32
 N_CHAR_BUCKETS = 4096
 
+#: forms whose FORBIDDEN bit genuinely depends on context — the hybrid
+#: backend consults the contextual tagger ONLY for these and lets the
+#: closed-class lexicon answer everything else. Grading on real sentences
+#: (tests/goldens/fr_pos_sentences.json) showed the silver-trained tagger
+#: drifts on open real-register syntax (it can mis-tag even 'mais'/'par'),
+#: while the lexicon is perfect on unambiguous closed-class forms — so
+#: each source answers where it is reliable.
+AMBIGUOUS_FORMS = {
+    "son",  # DET (possessive) vs NOUN (sound)
+    "car",  # CCONJ vs NOUN (bus)
+    "or",  # CCONJ vs NOUN (gold)
+    "personne",  # PRON (nobody) vs NOUN (person)
+    "tout",  # DET/PRON vs NOUN/ADV
+    "si",  # SCONJ vs ADV (intensifier)
+    "soit",  # CCONJ (either) vs AUX (subjunctive être)
+    "avant",  # ADP vs ADV
+    "après",  # ADP vs ADV
+    "a",  # unaccented à (ADP) vs avoir (AUX) in ASR text
+}
+
 _ELISION_SPLIT = re.compile(
     r"^([cdjlmnst]['’]|qu['’]|jusqu['’]|lorsqu['’]|puisqu['’]|quoiqu['’])(.+)$",
     re.IGNORECASE,
@@ -385,6 +405,11 @@ class ContextualTagger:
             if not toks:
                 return "X"
             q = _norm(toks[0])
+            if q not in AMBIGUOUS_FORMS:
+                # hybrid: the lexicon is authoritative off the ambiguous set
+                if word_index is not None:
+                    ptr = max(ptr, word_index + 1)
+                return fr_pos.first_token_pos(query)
             if word_index is not None and 0 <= word_index < len(norm_first):
                 if norm_first[word_index] == q:
                     ptr = word_index + 1
@@ -406,7 +431,8 @@ class ContextualTagger:
 
     def remove_spurious_commas(self, text: str) -> str:
         """Contextual twin of ``fr_pos.remove_spurious_commas`` — same span
-        splice, forbidden-bit decided by the sentence-level tags."""
+        splice; the forbidden bit comes from the sentence-level tags for
+        AMBIGUOUS_FORMS and from the lexicon everywhere else (hybrid)."""
         matches = list(fr_pos._TOKEN_RE.finditer(text))
         toks = []
         tok_of_match = []
@@ -428,7 +454,10 @@ class ContextualTagger:
             if tok.strip():
                 if tok[0].isalnum() or "'" in tok:
                     last = ti + tn - 1
-                    prev_forbidden = bool(tags) and tags[last] in FORBIDDEN_TAGS
+                    if tags and _norm(toks[last]) in AMBIGUOUS_FORMS:
+                        prev_forbidden = tags[last] in FORBIDDEN_TAGS
+                    else:
+                        prev_forbidden = fr_pos.pos_tag(toks[last]) in fr_pos.FORBIDDEN
                 else:
                     prev_forbidden = False
         if not removed_spans:
@@ -467,6 +496,8 @@ def get_pos_backend(name: str) -> PosBackend:
             toks = tokenize_with_elisions(text.strip())
             if not toks:
                 return "X"
+            if _norm(toks[0]) not in AMBIGUOUS_FORMS:
+                return fr_pos.first_token_pos(text)  # hybrid: lexicon rules
             tag = tagger.tag_tokens(toks)[0]
             return tag if tag in FORBIDDEN_TAGS else "X"
 

@@ -161,6 +161,47 @@ class TestDownstreamDrift:
         # lexicon drops BOTH (its "son" is always DET)
         assert ("pause", None, 400) not in filter_function_word_pauses(seq)
 
+    def test_real_sentence_golden(self, tagger):
+        """VERDICT r4 #8: grade on REAL French sentences, not the silver
+        template distribution. tests/goldens/fr_pos_sentences.json is a
+        hand-curated sentence-level golden (UD-GSD conventions) at the
+        token positions the pause/comma filters query. The HYBRID backend
+        (contextual only on AMBIGUOUS_FORMS, lexicon elsewhere) must beat
+        the lexicon alone and clear an absolute floor."""
+        import json
+        from pathlib import Path
+
+        from prosody_control_french_tts_tpu.models.pos_tagger import (
+            AMBIGUOUS_FORMS,
+            _norm,
+        )
+
+        g = json.loads(
+            (Path(__file__).parent / "goldens" / "fr_pos_sentences.json").read_text(
+                encoding="utf-8"
+            )
+        )
+        ok_l = ok_h = n = 0
+        for e in g["sentences"]:
+            toks = e["tokens"]
+            ctags = tagger.tag_tokens(toks)
+            for idx, gold in e["gold"].items():
+                i = int(idx)
+                n += 1
+                lb = fr_pos.pos_tag(toks[i]) in fr_pos.FORBIDDEN
+                if _norm(toks[i]) in AMBIGUOUS_FORMS:
+                    hb = ctags[i] in FORBIDDEN_TAGS
+                else:
+                    hb = lb
+                ok_l += lb == gold["forbidden"]
+                ok_h += hb == gold["forbidden"]
+        assert n >= 45
+        acc_l, acc_h = ok_l / n, ok_h / n
+        assert acc_h >= acc_l, (acc_h, acc_l)
+        # packaged checkpoint grades 0.980 (sole miss: 'la' as the solfège
+        # note — le/la/les stay lexicon-DET by design); floor with margin
+        assert acc_h >= 0.92, acc_h
+
     def test_pause_filter_skips_unqueried_occurrences(self, tagger):
         # ADVICE r4 repro: only the word directly before a pause is queried,
         # so an earlier unqueried occurrence of the same token must NOT
