@@ -14,6 +14,7 @@ Commands mirror the reference's entry points (README.md:118-143 usage):
   pretrain-whisper  rebuild the packaged out-of-the-box Whisper checkpoint
   pretrain-masknet  rebuild the packaged vocal-isolation checkpoint
   pretrain-pos  rebuild the packaged contextual French POS tagger
+  agreement  label-free cross-aligner agreement report on a real corpus
   bench      the throughput benchmark
 """
 
@@ -28,6 +29,13 @@ def main(argv: list[str] | None = None):
         print(__doc__)
         return 1
     cmd, rest = argv[0], argv[1:]
+    # long-running commands (pretrain-*, agreement) narrate via log.info;
+    # surface it like the reference's Tee-style step logging
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(name)s: %(message)s", force=False
+    )
     if cmd == "run":
         from .core.pipeline import main as run_main
 
@@ -212,7 +220,7 @@ def main(argv: list[str] | None = None):
         ap.add_argument("--epochs", type=int, default=12)
         ap.add_argument("--batch", type=int, default=16)
         ap.add_argument(
-            "--domain", default="mixed", choices=("synth", "formant", "mixed")
+            "--domain", default="mixed2", choices=("synth", "formant", "mixed", "mixed2")
         )
         args = ap.parse_args(rest)
         _, err_ms, acc = pretrain(
@@ -255,6 +263,38 @@ def main(argv: list[str] | None = None):
         params, feat, cfg = train_pos_tagger(sents, steps=args.steps)
         save_tagger(params, feat, cfg, args.out)
         print(f"saved -> {args.out}")
+        return 0
+    if cmd == "agreement":
+        # label-free cross-aligner agreement over a real corpus — produces
+        # the docs/real_audio_agreement_r*.json evidence artifact
+        # (eval/real_audio_agreement.py; framing of the reference's gold
+        # harness, Code/whisper_testing/splitting.py:130-252)
+        import argparse
+        import json
+        from pathlib import Path
+
+        from .eval.real_audio_agreement import corpus_agreement_report
+
+        ap = argparse.ArgumentParser(prog="agreement")
+        ap.add_argument(
+            "--corpus", default="/root/reference/Data/voice/records/audio"
+        )
+        ap.add_argument("--out", default="-", help="JSON path or - for stdout")
+        ap.add_argument(
+            "--refs",
+            default=None,
+            help="JSON file {stem: nominal_reference_text} anchoring the WER proxy",
+        )
+        args = ap.parse_args(rest)
+        wavs = sorted(Path(args.corpus).glob("*.wav"))
+        refs = json.loads(Path(args.refs).read_text(encoding="utf-8")) if args.refs else None
+        report = corpus_agreement_report(wavs, refs)
+        text = json.dumps(report, indent=1)
+        if args.out == "-":
+            print(text)
+        else:
+            Path(args.out).write_text(text, encoding="utf-8")
+            print(json.dumps(report["summary"], indent=1))
         return 0
     if cmd == "bench":
         import runpy

@@ -67,19 +67,27 @@ class CTCEncoder(nn.Module):
     heads: int = 4
 
     @nn.compact
-    def __call__(self, mel, deterministic: bool = True):
+    def __call__(self, mel, deterministic: bool = True, n_valid=None):
+        """``n_valid`` (int32 scalar, downsampled-frame units) masks the
+        global attention to the real frames so bucket-padded inputs produce
+        the same logits on real frames as exact-length inputs (the convs
+        are local; only ≤2 boundary frames see pad zeros). None = all
+        frames real (training, exact-length calls)."""
         x = nn.Conv(self.dim, kernel_size=(3,), padding="SAME", dtype=jnp.bfloat16)(mel)
         x = jax.nn.gelu(x)
         x = nn.Conv(self.dim, kernel_size=(3,), strides=(2,), padding="SAME", dtype=jnp.bfloat16)(x)
         x = jax.nn.gelu(x)
         T = x.shape[-2]
+        mask = None
+        if n_valid is not None:
+            mask = (jnp.arange(T) < n_valid)[None, None, :]  # [1(head), 1(q), T(kv)]
         pos = nn.Embed(4096, self.dim, dtype=jnp.bfloat16)(jnp.arange(T) % 4096)
         x = x + pos
         for i in range(self.layers):
             h = nn.LayerNorm(dtype=jnp.float32)(x)
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.heads, dtype=jnp.bfloat16, deterministic=True
-            )(h)
+            )(h, mask=mask)
             x = x + attn
             h = nn.LayerNorm(dtype=jnp.float32)(x)
             h = nn.Dense(self.dim * 4, dtype=jnp.bfloat16)(h)
@@ -187,32 +195,66 @@ class CTCAligner:
         a16 = audio.to_mono()
         if a16.rate != self.sample_rate:
             a16 = resample(a16, self.sample_rate)
-        mel = log_mel(
-            jnp.asarray(np.asarray(a16.samples, np.float32)),
-            self.sample_rate,
-            n_fft=400,
-            hop_length=self.hop,
-            n_mels=self.n_mels,
-        )
-        logits = self.model.apply(self.params, mel)
-        logp = jax.nn.log_softmax(logits, axis=-1)
+        x = np.asarray(a16.samples, np.float32)
+        # bucket-pad samples (pow-2) and labels (32s) so the whole corpus
+        # reuses a handful of compiled programs: the un-padded path paid a
+        # fresh XLA compile per distinct (audio length, transcript length)
+        # pair AND dispatched the mel+conv stack eagerly (one ~30 ms tunnel
+        # launch per op). ctc_forced_align takes true input_len/label_len,
+        # so padding is exact by construction; only the last analysis
+        # window sees pad zeros instead of the reflect tail (≤1 frame).
+        n = x.shape[0]
+        n_pad = 1 << max(int(n - 1).bit_length(), 14)
+        true_frames = self._logits_frames(n)
+        l_pad = ((len(labels) + 31) // 32) * 32
+        labels_p = np.zeros(l_pad, np.int32)
+        labels_p[: len(labels)] = labels
         auto = blank_bias == "auto"
         b = 0.0 if auto else float(blank_bias)
-        lp = logp if b == 0.0 else logp.at[:, self.vocab.blank].add(-b)
-        states, score = ctc_forced_align(
-            lp,
-            jnp.asarray(labels, jnp.int32),
-            jnp.int32(logp.shape[0]),
+        states, score = self._align_device(
+            jnp.asarray(np.pad(x, (0, n_pad - n))),
+            jnp.asarray(labels_p),
+            jnp.int32(true_frames),
             jnp.int32(len(labels)),
-            blank=self.vocab.blank,
+            jnp.float32(b),
         )
-        triples = states_to_words(np.asarray(states), labels, spans, self.frame_dt, words)
-        if auto and float(score) / max(logp.shape[0], 1) < self.OOD_SCORE_PER_FRAME:
+        states = np.asarray(states)[:true_frames]
+        triples = states_to_words(states, labels, spans, self.frame_dt, words)
+        if auto and float(score) / max(true_frames, 1) < self.OOD_SCORE_PER_FRAME:
             speech = self._speech_mask(a16)
             if self._speech_coverage(speech, triples) < self.COVERAGE_TARGET:
                 triples = self._snap_to_speech(triples, speech)
         aligned = [AlignedWord(t0, t1, w) for t0, t1, w in triples]
         return words_to_textgrid(aligned, audio.to_mono().duration_seconds)
+
+    def _logits_frames(self, n_samples: int) -> int:
+        """Logits frames for an exact-length input: center-padded STFT gives
+        1 + n//hop mel frames; the stride-2 SAME conv halves (ceil)."""
+        return (1 + n_samples // self.hop + 1) // 2
+
+    def _align_device(self, x, labels, n_frames, n_labels, bias):
+        """ONE jitted launch: log_mel → encoder (attention masked to the
+        real frames) → log-softmax → blank bias → Viterbi forced align.
+        Memoized process-wide per (geometry, shapes) — the eager path paid
+        one ~30 ms tunnel launch per op and a fresh XLA compile per
+        distinct (audio, transcript) length pair."""
+        from .whisper_jax import _memo_fn
+
+        key = ("ctc_align", self.sample_rate, self.n_mels, self.model.dim, self.model.layers, len(self.vocab))
+        model, blank, sr, hop, n_mels = self.model, self.vocab.blank, self.sample_rate, self.hop, self.n_mels
+
+        def build():
+            @jax.jit
+            def run(params, x, labels, n_frames, n_labels, bias):
+                mel = log_mel(x, sr, n_fft=400, hop_length=hop, n_mels=n_mels)
+                logits = model.apply(params, mel, n_valid=n_frames)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                logp = logp.at[:, blank].add(-bias)
+                return ctc_forced_align(logp, labels, n_frames, n_labels, blank=blank)
+
+            return run
+
+        return _memo_fn(key, build)(self.params, x, labels, n_frames, n_labels, bias)
 
     @staticmethod
     def _speech_mask(a16: Audio) -> np.ndarray:

@@ -37,6 +37,22 @@ SAMPLE_RATE = 16000
 HOP = 160
 FRAME_DT = 2 * HOP / SAMPLE_RATE  # encoder stride-2 → 20 ms per frame
 
+# Process-wide memo of traced/jitted programs keyed by (kind, cfg, …).
+# Tracing the 3-layer decode while_loop costs seconds of host time on this
+# 1-vCPU box even when the XLA compile-cache hits, and every fresh
+# WhisperAligner (the pipeline builds one per step that aligns) used to
+# re-pay it; two models with equal configs trace to identical programs, so
+# sharing by config is exact.
+_TRACE_MEMO: dict = {}
+
+
+def _memo_fn(key, builder):
+    fn = _TRACE_MEMO.get(key)
+    if fn is None:
+        fn = builder()
+        _TRACE_MEMO[key] = fn
+    return fn
+
 
 @dataclass(frozen=True)
 class WhisperConfig:
@@ -275,15 +291,18 @@ def make_greedy_fn(model: WhisperModel, max_new: int):
     tunnel costs ~30 ms per launch; the reference's GPU hot loop is
     use_whisper_timestamped.py:150-170).
 
-    Returns fn(params, mel [B, ·, n_mels], sot_id, eot_id) →
-    (tokens [B, max_new+1] with tokens[:, 0] = sot, att [B, max_new+1, F]):
+    Returns fn(params, mel [B, ·, n_mels], sot_id, eot_id, active [B] bool)
+    → (tokens [B, max_new+1] with tokens[:, 0] = sot, att [B, max_new+1, F]):
     att[s] is the layer/head-averaged cross-attention of the query at
     position s — rows 1..n are the per-token DTW timestamp input.
+    ``active=False`` rows (batch padding to the power-of-two bucket) are
+    done before step 0 — without it a zero-mel pad row babbles to the token
+    cap and every real row pays its steps (the loop exits on all-done).
     """
     cfg = model.cfg
 
     @jax.jit
-    def run(params, mel, sot_id, eot_id):
+    def run(params, mel, sot_id, eot_id, active):
         enc = model.apply(params, mel, method=WhisperModel.encode)
         cross_kvs = model.apply(params, enc, method=WhisperModel.cross_kv)
         B, F = enc.shape[0], enc.shape[-2]
@@ -317,7 +336,7 @@ def make_greedy_fn(model: WhisperModel, max_new: int):
             tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step + 1))
             return step + 1, tokens, caches, att, done
 
-        state = (0, tokens, caches, att, jnp.zeros((B,), bool))
+        state = (0, tokens, caches, att, ~active)
         _, tokens, caches, att, _ = jax.lax.while_loop(cond, body, state)
         # One extra decode step for the query at position max_new: rows that
         # hit the cap without emitting eot have all max_new generated tokens
@@ -359,16 +378,16 @@ def _attention_spans_device(att, n, fr, max_rows: int):
 def make_greedy_spans_fn(model: WhisperModel, max_new: int):
     """The production alignment launch: greedy decode (make_greedy_fn) +
     eot scan + cross-attention DTW + device backtrack fused into ONE
-    jitted program. fn(params, mel, sot, eot, fr [B] int32) →
-    (tokens [B, max_new+1], n [B] token counts, spans [B, max_new, 2]
-    frame indices). The per-corpus readback is a few KB of tokens/spans
-    instead of the [B, max_new+1, F] float32 attention tensor plus the
-    [B, L+1, F+1] DP matrix (MBs over the ~40 MB/s tunnel)."""
+    jitted program. fn(params, mel, sot, eot, fr [B] int32, active [B]
+    bool) → (tokens [B, max_new+1], n [B] token counts, spans
+    [B, max_new, 2] frame indices). The per-corpus readback is a few KB of
+    tokens/spans instead of the [B, max_new+1, F] float32 attention tensor
+    plus the [B, L+1, F+1] DP matrix (MBs over the ~40 MB/s tunnel)."""
     greedy = make_greedy_fn(model, max_new)
 
     @jax.jit
-    def run(params, mel, sot_id, eot_id, fr):
-        tokens, att = greedy(params, mel, sot_id, eot_id)
+    def run(params, mel, sot_id, eot_id, fr, active):
+        tokens, att = greedy(params, mel, sot_id, eot_id, active)
         is_eot = tokens[:, 1:] == eot_id  # [B, max_new]
         n = jnp.where(is_eot.any(axis=1), jnp.argmax(is_eot, axis=1), max_new).astype(jnp.int32)
         spans = _attention_spans_device(att, n, fr.astype(jnp.int32), max_new)
@@ -611,9 +630,8 @@ class WhisperAligner:
         # detect_disfluencies=True (use_whisper_timestamped.py:150-156)
         self.use_vad = use_vad
         self.detect_disfluencies = detect_disfluencies
-        self._greedy_cache: dict = {}  # max_new → jitted decode fn
-        self._mel_cache: dict = {}  # jitted batched log-mel
-        self._forced_cache: dict = {}  # jitted teacher-forced cross-attention
+        # jitted programs live in the module-level _TRACE_MEMO (keyed by
+        # config) so fresh aligner instances skip re-tracing
 
     @classmethod
     def from_pretrained(cls, path, **kwargs) -> "WhisperAligner":
@@ -677,11 +695,10 @@ class WhisperAligner:
         """[B, window] samples → [B, max_mel, n_mels] log-mels in ONE
         launch, result left ON DEVICE (the decode programs consume it
         directly — no host round trip per clip)."""
-        fn = self._mel_cache.get(None)
-        if fn is None:
-            max_mel = self.cfg.n_audio_ctx * 2
-            n_mels = self.cfg.n_mels
+        max_mel = self.cfg.n_audio_ctx * 2
+        n_mels = self.cfg.n_mels
 
+        def build():
             @jax.jit
             def run(batch):
                 mels = jax.vmap(
@@ -689,8 +706,9 @@ class WhisperAligner:
                 )(batch)
                 return mels[:, :max_mel]
 
-            fn = run
-            self._mel_cache[None] = fn
+            return run
+
+        fn = _memo_fn(("mel", max_mel, n_mels), build)
         return fn(jnp.asarray(xs))
 
     def features(self, audio: Audio) -> jnp.ndarray:
@@ -855,18 +873,25 @@ class WhisperAligner:
         if Bp != B:
             xs = np.pad(xs, ((0, Bp - B), (0, 0)))
         mels = self._mel_batch(xs)  # one launch; stays on device
-        fn = self._greedy_cache.get(("spans", max_new))
-        if fn is None:
-            fn = make_greedy_spans_fn(self.model, max_new)
-            self._greedy_cache[("spans", max_new)] = fn
+        fn = _memo_fn(
+            ("spans", self.cfg, max_new), lambda: make_greedy_spans_fn(self.model, max_new)
+        )
         # REAL encoder frames per clip (see _teacher_forced_words): the DP
-        # is restricted to them on device; pad rows get 1
+        # is restricted to them on device; pad rows get 1 and are done
+        # before step 0 (`active`) so they never gate the loop's early exit
         fr = np.ones(Bp, np.int32)
+        active = np.zeros(Bp, bool)
+        active[:B] = True
         for i, j in enumerate(free):
             fr[i] = max(1, int(np.ceil(j["audio"].duration_seconds / FRAME_DT)))
         fr = np.minimum(fr, self.cfg.n_audio_ctx)
         tokens, n, spans = fn(
-            self.params, mels, self.tokenizer.cls_id, self.tokenizer.sep_id, jnp.asarray(fr)
+            self.params,
+            mels,
+            self.tokenizer.cls_id,
+            self.tokenizer.sep_id,
+            jnp.asarray(fr),
+            jnp.asarray(active),
         )
         tokens = np.asarray(tokens)[:B]
         n = np.asarray(n)[:B]
@@ -901,8 +926,8 @@ class WhisperAligner:
             xs = np.pad(xs, ((0, Bp - B), (0, 0)))
             ids = np.pad(ids, ((0, Bp - B), (0, 0)), constant_values=self.tokenizer.sep_id)
         mels = self._mel_batch(xs)
-        fn = self._forced_cache.get("spans")
-        if fn is None:
+
+        def build():
             model = self.model
 
             @jax.jit
@@ -914,8 +939,9 @@ class WhisperAligner:
                 att = jnp.mean(jnp.stack([w.mean(axis=1) for w in cross]), axis=0)
                 return _attention_spans_device(att, n_tok, fr, att.shape[1] - 1)
 
-            fn = run
-            self._forced_cache["spans"] = fn
+            return run
+
+        fn = _memo_fn(("forced", self.cfg), build)
         # REAL token counts and encoder frames per clip: the DP is
         # restricted to them on device (attention mass in the mel pad would
         # otherwise place words past the audio end — they then clamp to
@@ -961,13 +987,14 @@ class WhisperAligner:
         if self.params is None or self.tokenizer is None:
             raise ValueError("WhisperAligner needs weights + tokenizer")
         max_new = min(max_tokens, self.cfg.n_text_ctx - 1)
-        fn = self._greedy_cache.get(max_new)
-        if fn is None:
-            fn = make_greedy_fn(self.model, max_new)
-            self._greedy_cache[max_new] = fn
+        fn = _memo_fn(("greedy", self.cfg, max_new), lambda: make_greedy_fn(self.model, max_new))
         mel = self.features(audio)
         tokens, att = fn(
-            self.params, mel[None], self.tokenizer.cls_id, self.tokenizer.sep_id
+            self.params,
+            mel[None],
+            self.tokenizer.cls_id,
+            self.tokenizer.sep_id,
+            jnp.ones((1,), bool),
         )
         return self._parse_greedy_output(np.asarray(tokens[0]), np.asarray(att[0]), max_new)
 

@@ -167,7 +167,7 @@ class TestGreedyCapAttentionRow:
         max_new = 4
         fn = make_greedy_fn(model, max_new)
         # eot_id = -1 never matches any argmax token → decode runs to the cap
-        tokens, att = fn(params, jnp_mel, 0, -1)
+        tokens, att = fn(params, jnp_mel, 0, -1, np.ones((1,), bool))
         att = np.asarray(att)
         assert att.shape[1] == max_new + 1
         # every row 1..max_new (the text tokens' DTW inputs) must be written
