@@ -150,6 +150,7 @@ class FormantSpec:
     edge_s: float = 0.08  # leading/trailing silence
     augment: bool = True  # channel EQ + reverb + noise stage
     vary: bool = True  # draw per-sentence F0/rate/channel from the seed
+    formant_scale: float = 1.0  # vocal-tract-length warp (formants ×α)
 
 
 def _sentence_draws(spec: FormantSpec, rng: np.random.Generator) -> FormantSpec:
@@ -160,6 +161,9 @@ def _sentence_draws(spec: FormantSpec, rng: np.random.Generator) -> FormantSpec:
         f0=float(rng.uniform(85.0, 105.0)),
         rate=float(rng.uniform(0.85, 1.18)),
         gap_s=float(rng.uniform(0.04, 0.09)),
+        # VTL warp: the acoustic model must not overfit ONE vocal tract —
+        # ±8 % covers typical male tract-length spread around the targets
+        formant_scale=float(rng.uniform(0.93, 1.09)),
     )
 
 
@@ -282,6 +286,11 @@ def _tracks(segments, spec: FormantSpec, n_frames: int):
             max(P.noise_bw, 1.0),
             P.noise_amp,
         )
+    # vocal-tract-length warp: formant targets and frication loci scale
+    # together (columns 0-2 = F1..F3, 5 = noise centre)
+    if spec.formant_scale != 1.0:
+        par[:, 0:3] *= spec.formant_scale
+        par[:, 5] *= spec.formant_scale
     # coarticulation: 15 ms triangular smoothing of every track
     k = np.array([1, 2, 3, 2, 1], np.float32)
     k /= k.sum()

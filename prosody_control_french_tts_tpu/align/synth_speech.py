@@ -138,12 +138,67 @@ WORDS = (
 ).split()
 
 
-def sample_sentences(n: int, seed: int = 0, min_words: int = 3, max_words: int = 9) -> list[str]:
+# Frequency-list French beyond the charset-coverage core: common
+# content/function words (standard top-frequency vocabulary, not tied to
+# any test text) so the byte decoder learns real French orthotactics —
+# silent endings (-ent, -s, -x, -e), digraphs (ou/au/eau/ai/ei/oi/gn/ch),
+# liaison-prone function words. Used by the narrator-domain (formant)
+# pretraining mix; the core WORDS list alone taught a 150-word LM whose
+# free decode produced French-shaped non-words on real audio (r04/r05
+# agreement evidence).
+WORDS_RICH = WORDS + (
+    "de du au aux ce cette ces son sa ses mon ma mes ton ta tes notre votre "
+    "il elle ils elles nous vous je tu on se ne pas plein chaque quelques "
+    "tout tous toute toutes autre autres même mêmes tel telle quel quelle "
+    "être été suis es sommes êtes serait sera seront était étaient "
+    "avait avaient aura aurait ayant eu a ont avons avez "
+    "faire fais faisait faisaient fera ferait faite faites "
+    "dire disait disent dira dirait dit dits "
+    "aller allait vont ira irait allé venir venait viennent viendra venu "
+    "pouvoir pouvait peuvent pourra pourrait pu devoir devait doivent devra dû "
+    "vouloir voulait veulent voudra voulu savoir savait savent saura su "
+    "voir voyait voient verra vu prendre prenait prennent prendra pris "
+    "donner donnait donnent donnera donné trouver trouvait trouvent trouvé "
+    "passer passait passent passé rester restait restent resté "
+    "porter portait portent porté laisser laissait laissent laissé "
+    "venue entendre entendait entendent entendu attendre attendait attendu "
+    "répondre répondait répondu vivre vivait vivent vécu "
+    "écrire écrivait écrivent écrit lire lisait lisent lu "
+    "chose choses vie mort corps esprit idée idées mot mots nom noms "
+    "point points place places forme formes partie parties côté côtés "
+    "moment moments heure heures minute minutes semaine semaines mois "
+    "fois raison question questions réponse réponses travail œil "
+    "état états cas effet effets ordre ordres suite suites fin fins "
+    "personne personnes groupe groupes nombre nombres mesure mesures "
+    "eau air terre mer feu lumière ombre couleur couleurs bruit silence "
+    "chemin route porte fenêtre table chambre salle jardin champ champs "
+    "arbre arbres fleur fleurs oiseau oiseaux cheval chevaux chien chat "
+    "livre livres page pages lettre lettres journal image images "
+    "père mère fils fille filles frères sœurs oncle tante "
+    "roi reine prince peuple pays nation guerre paix force "
+    "amour joie peur espoir douleur plaisir bonheur malheur "
+    "blanc blanche noir noire rouge bleu vert jaune gris clair sombre "
+    "long longue court courte haut haute bas basse large étroit "
+    "fort forte faible doux douce dur dure froid froide chaud chaude "
+    "plein pleine vide seul seule libre vrai vraie faux fausse "
+    "bon bonne mauvais mauvaise meilleur meilleure pire "
+    "ainsi alors ensuite enfin puis donc pourtant cependant peut "
+    "souvent parfois rarement bientôt tard tôt longtemps "
+    "presque assez trop tant autant combien pourquoi comment quand "
+    "devant derrière dessus dessous entre vers chez sans sous contre "
+    "pendant depuis avant après jusque malgré selon parmi"
+).split()
+
+
+def sample_sentences(
+    n: int, seed: int = 0, min_words: int = 3, max_words: int = 9, vocab=None
+) -> list[str]:
     rng = np.random.default_rng(seed)
+    words = np.asarray(vocab if vocab is not None else WORDS)
     out = []
     for _ in range(n):
         k = int(rng.integers(min_words, max_words + 1))
-        out.append(" ".join(rng.choice(WORDS, size=k)))
+        out.append(" ".join(rng.choice(words, size=k)))
     return out
 
 

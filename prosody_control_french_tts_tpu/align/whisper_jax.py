@@ -714,6 +714,26 @@ class WhisperAligner:
     def features(self, audio: Audio) -> jnp.ndarray:
         return self._mel_batch(self._audio_window(audio)[None])[0]
 
+    def _stack_windows(self, jobs: list[dict]) -> jnp.ndarray:
+        """[Bp, window] device array from per-job windows, padded to the
+        power-of-two batch bucket. Windows already device_put by
+        align_batch (j["xd"]) stack on device without re-upload; direct
+        callers (the single-clip convenience paths) fall back to a host
+        stack+upload."""
+        B = len(jobs)
+        Bp = 1 << max(B - 1, 1).bit_length()
+        if all("xd" in j for j in jobs):
+            stacked = jnp.stack([j["xd"] for j in jobs])
+            if Bp != B:
+                stacked = jnp.concatenate(
+                    [stacked, jnp.zeros((Bp - B, stacked.shape[1]), jnp.float32)], axis=0
+                )
+            return stacked
+        xs = np.stack([self._audio_window(j["audio"]) for j in jobs])
+        if Bp != B:
+            xs = np.pad(xs, ((0, Bp - B), (0, 0)))
+        return jnp.asarray(xs)
+
     def align(self, audio: Audio, transcript: str | None = None) -> TextGrid:
         return self.align_batch([audio], [transcript])[0]
 
@@ -748,6 +768,13 @@ class WhisperAligner:
             regions, clip_jobs = self._plan_jobs(a, transcript)
             for j in clip_jobs:
                 j["clip"] = idx
+                # start this window's h2d NOW: transfers stream in the
+                # background on this runtime, so the upload of clip k rides
+                # under the VAD/resample host work of clips k+1… — the
+                # blocking stack-and-upload used to cost ~0.8 s per corpus
+                # batch (tools/profile_whisper.py: mel 512 ms from host vs
+                # 58 ms from device at the corpus batch shape)
+                j["xd"] = jax.device_put(self._audio_window(j["audio"]))
             jobs.extend(clip_jobs)
             plans.append({"empty": False, "dur": a.duration_seconds, "regions": regions})
 
@@ -867,11 +894,9 @@ class WhisperAligner:
         cross-attention DTW + backtrack (make_greedy_spans_fn); only
         KB-sized tokens/spans come back. Fills job["words"] in place."""
         max_new = min(max_tokens, self.cfg.n_text_ctx - 1)
-        xs = np.stack([self._audio_window(j["audio"]) for j in free])
-        B = xs.shape[0]
-        Bp = 1 << max(B - 1, 1).bit_length()
-        if Bp != B:
-            xs = np.pad(xs, ((0, Bp - B), (0, 0)))
+        xs = self._stack_windows(free)
+        B = len(free)
+        Bp = xs.shape[0]
         mels = self._mel_batch(xs)  # one launch; stays on device
         fn = _memo_fn(
             ("spans", self.cfg, max_new), lambda: make_greedy_spans_fn(self.model, max_new)
@@ -919,11 +944,10 @@ class WhisperAligner:
         ids = np.full((len(forced), Lb), self.tokenizer.sep_id, np.int32)
         for i, r in enumerate(tok_rows):
             ids[i, : min(len(r), Lb)] = r[:Lb]
-        xs = np.stack([self._audio_window(j["audio"]) for j in forced])
-        B = xs.shape[0]
-        Bp = 1 << max(B - 1, 1).bit_length()
+        xs = self._stack_windows(forced)
+        B = len(forced)
+        Bp = xs.shape[0]
         if Bp != B:
-            xs = np.pad(xs, ((0, Bp - B), (0, 0)))
             ids = np.pad(ids, ((0, Bp - B), (0, 0)), constant_values=self.tokenizer.sep_id)
         mels = self._mel_batch(xs)
 

@@ -97,14 +97,45 @@ def mel_filterbank(sr: float, n_fft: int, n_mels: int = 80, fmin: float = 0.0, f
     return fb
 
 
+def _dft_mats(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT analysis matrices [n_fft, 1 + n_fft//2] (cos, −sin)."""
+    F = 1 + n_fft // 2
+    k = np.arange(F)[None, :]
+    t = np.arange(n_fft)[:, None]
+    ang = 2.0 * np.pi * t * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
 @partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length", "n_mels"))
 def log_mel(x: jnp.ndarray, sr: float, n_fft: int = 400, hop_length: int = 160, n_mels: int = 80):
     """Log-mel features [..., frames, n_mels] — the acoustic front-end for
     the CTC aligner and Whisper-style encoder (Whisper convention:
-    log10, clamped to max−8, scaled)."""
-    power = jnp.abs(stft(x, n_fft, hop_length)) ** 2  # [..., F, T']
+    log10, clamped to max−8, scaled).
+
+    The power spectrum runs as TWO split-precision DFT matmuls on the MXU
+    (ops.precision.mm_split3, ~1e-5 rel) instead of jnp.fft.rfft: on the
+    bench chip the FFT lowering made the mel front-end 10× the cost of the
+    ENTIRE fused decode+DTW launch (513 ms vs 52 ms at the corpus batch
+    shape, tools/profile_whisper.py) — the same finding as the pitch
+    kernel's spectrum (ops/pitch.py), where the MXU path is both ~10×
+    faster and more accurate than the TPU FFT."""
+    from .precision import mm_split3
+
+    hop = hop_length
+    pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+    xp = jnp.pad(x, pad, mode="reflect")
+    T = xp.shape[-1]
+    n_frames = 1 + (T - n_fft) // hop
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    frames = jnp.take(xp, idx, axis=-1) * jnp.asarray(_hann(n_fft))  # [..., T', n_fft]
+    C, S = _dft_mats(n_fft)
+    lead = frames.shape[:-1]
+    flat = frames.reshape((-1, n_fft))
+    re = mm_split3(flat, jnp.asarray(C))
+    im = mm_split3(flat, jnp.asarray(S))
+    power = (re * re + im * im).reshape((*lead, C.shape[1]))  # [..., T', F]
     fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
-    mel = jnp.einsum("mf,...ft->...tm", fb, power)
+    mel = jnp.einsum("mf,...tf->...tm", fb, power)
     logm = jnp.log10(jnp.maximum(mel, 1e-10))
     logm = jnp.maximum(logm, jnp.max(logm, axis=(-2, -1), keepdims=True) - 8.0)
     return (logm + 4.0) / 4.0

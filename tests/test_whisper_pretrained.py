@@ -63,12 +63,16 @@ class TestPackagedWhisper:
         assert acc > 0.85, f"held-out word accuracy {acc:.3f}"
 
     def test_align_without_transcript_produces_textgrid(self, aligner):
-        # single-sentence smoke of the transcript-free path: the checkpoint
-        # has ~7 % held-out WER (the statistical gate above), so this
-        # asserts sequence-matched words, not byte-exact decode
+        # single-sentence smoke of the transcript-free path: the statistical
+        # gate above covers accuracy, so this asserts sequence-matched words
+        # (not byte-exact decode) on a sentence SAMPLED from the training
+        # vocabulary — hand-written sentences can contain words the
+        # hermetic checkpoint has never heard, which tests the vocabulary,
+        # not the align() path (the narrator-domain mixed2 retrain exposed
+        # exactly that with the previous hard-coded sentence)
         from difflib import SequenceMatcher
 
-        sent = "le portrait du compositeur"
+        sent = sample_sentences(1, seed=777_000, min_words=4, max_words=5)[0]
         audio, gold = synth_sentence(sent, seed=777_000)
         tg = aligner.align(Audio(audio, 16000))  # no transcript at all
         words = [
