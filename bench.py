@@ -641,7 +641,7 @@ def bench_llm_decode_7b_quant(mode: str = "int8", batch: int = 8, new: int = 32)
     }
 
 
-def bench_serving(n_clients: int = 48, per_client: int = 12) -> dict:
+def bench_serving(n_clients: int = 96, per_client: int = 12) -> dict:
     """HTTP SSML-prediction service under concurrent load (serving/):
     sentences/sec + p50/p99 request latency, micro-batching ON (max_batch
     32) vs OFF (max_batch 1 — the per-request shape of the reference's
@@ -649,8 +649,8 @@ def bench_serving(n_clients: int = 48, per_client: int = 12) -> dict:
     tagger at the production geometry on the accelerator (tiny on CPU),
     loopback HTTP, stdlib clients.
 
-    Load is sized so batches actually fill (48 sync clients > max_batch
-    32); the r4 run's 51 sent/s / 1.1 s p99 were transport artifacts
+    Load is sized so batches actually fill (96 sync clients > max_batch
+    64); the r4 run's 51 sent/s / 1.1 s p99 were transport artifacts
     (HTTP/1.0 reconnect-per-request SYN retransmits + Nagle/delayed-ACK),
     fixed in serving/predictor.py — batch-fill and queue-vs-compute stats
     from the MicroBatcher are reported alongside."""
@@ -678,7 +678,9 @@ def bench_serving(n_clients: int = 48, per_client: int = 12) -> dict:
     )
 
     out: dict = {}
-    for label, max_batch, wait_ms in (("batched", 32, 4.0), ("unbatched", 1, 0.0)):
+    # batch 64: the ~30 ms tunnel launch floor amortizes across twice the
+    # rows for ~1.3x the per-batch compute (measured r5: 473 -> see BENCH)
+    for label, max_batch, wait_ms in (("batched", 64, 4.0), ("unbatched", 1, 0.0)):
         import jax.numpy as jnp
 
         from prosody_control_french_tts_tpu.models.bert import BreakTagger

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 from ..models.bpe_tokenizer import byte_level_french
 from ..utils.wavio import Audio
-from .synth_speech import WORDS_RICH, SynthSpec, sample_sentences, synth_sentence
+from .synth_speech import WORDS_RICH, SynthSpec, sample_sentences, sample_sentences_fr, synth_sentence
 from .whisper_jax import FRAME_DT, WhisperAligner, WhisperConfig, WhisperModel
 
 log = logging.getLogger(__name__)
@@ -283,12 +283,21 @@ def pretrain(
     cfg = synth_fr_config()
     tok = byte_level_french()
     al = WhisperAligner(cfg, tokenizer=tok)
-    # narrator-domain variants train on the frequency-list vocabulary
-    # (WORDS_RICH) so the byte decoder learns real French orthotactics —
-    # the 150-word core list alone free-decoded French-shaped non-words on
-    # real audio (docs/real_audio_agreement_r04/r05.json)
+    # narrator-domain variants train HALF on the grammatical Zipf sampler
+    # (sample_sentences_fr — realistic function-word rates, the decoder's
+    # implicit LM prior) and HALF on uniform frequency-list draws
+    # (WORDS_RICH — orthotactic/vocabulary coverage); the 150-word core
+    # list alone free-decoded French-shaped non-words on real audio
+    # (docs/real_audio_agreement_r04/r05.json)
     vocab = WORDS_RICH if domain in ("mixed", "mixed2", "formant") else None
-    sentences = sample_sentences(n_sentences, seed=seed, vocab=vocab)
+    if vocab is not None:
+        half = n_sentences // 2
+        sentences = sample_sentences_fr(half, seed=seed) + sample_sentences(
+            n_sentences - half, seed=seed, vocab=vocab
+        )
+        np.random.default_rng(seed + 1).shuffle(sentences)
+    else:
+        sentences = sample_sentences(n_sentences, seed=seed)
     synth_fns = _domain_synth(domain)
     mel, ids, n_text, att_target = _prep_batches(al, sentences, spec, batch, seed, synth_fns)
     log.info("pretraining whisper on %d sentences, mel %s", mel.shape[0], mel.shape)
@@ -337,9 +346,12 @@ def pretrain(
     if domain in ("mixed", "mixed2", "formant"):
         from . import formant_speech
 
+        held = sample_sentences_fr(16, seed=seed + 778) + sample_sentences(
+            16, seed=seed + 778, vocab=vocab
+        )
         _, form_acc = boundary_error_ms(
             al,
-            sample_sentences(32, seed=seed + 778, vocab=vocab),
+            held,
             formant_speech.FormantSpec(),
             synth_fn=formant_speech.synth_sentence,
         )

@@ -202,6 +202,156 @@ def sample_sentences(
     return out
 
 
+# ---------------------------------------------------------------------------
+# grammatical Zipf-weighted sampler (round-5 ASR domain work)
+# ---------------------------------------------------------------------------
+#
+# Uniform draws over a word list give every word probability 1/|V| — real
+# French is Zipfian and ~45 % closed-class. A decoder trained on uniform
+# word salad learns a flat implicit LM, so its free decode on real audio
+# carries no prior toward the function words that dominate genuine speech.
+# These class pools (drawn from WORDS/WORDS_RICH — no new characters) plus
+# phrase templates produce sentences with realistic word-frequency and
+# word-LENGTH statistics: determiners/pronouns/prepositions at their real
+# rates, content words on a geometric (Zipf-like) tail, l'/d' elisions
+# before vowels. Syntax is approximate (no agreement); the point is the
+# distribution, not grammar.
+
+FR_DET = "le la les un une des du ce cette ces son sa ses leur notre".split()
+FR_PRON = "il elle ils elles nous vous on je".split()
+FR_PREP = "de dans sur avec pour sous vers chez sans entre devant pendant depuis après avant".split()
+FR_CONJ = "et mais ou donc alors ensuite puis enfin".split()
+FR_NEG = ["ne"]
+FR_AUX = "est sont était étaient a ont avait avaient sera serait".split()
+FR_V = (
+    "parle écoute chante joue commence termine raconte explique montre "
+    "fait dit voit sait peut veut vient va prend trouvait donnait passait "
+    "restait portait laissait attendait entendait répondait vivait écrivait "
+    "lisait allait venait pouvait devait voulait savait voyait prenait"
+).split()
+FR_VPP = "fait dit vu pris donné trouvé passé resté porté laissé entendu attendu venu allé écrit lu".split()
+FR_N = (
+    "maison ville rue monde pays temps jour nuit matin soir année siècle "
+    "homme femme enfant ami famille gens musique chanson voix radio émission "
+    "histoire œuvre portrait artiste eau ciel mer terre vent pluie neige "
+    "cœur tête main pied chose vie esprit idée mot nom point place forme "
+    "partie côté moment heure minute semaine mois fois raison question "
+    "réponse travail état cas effet ordre suite fin personne groupe nombre "
+    "mesure air lumière ombre couleur bruit silence chemin route porte "
+    "fenêtre table chambre salle jardin champ arbre fleur oiseau cheval "
+    "chien chat livre page lettre journal image père mère fils fille "
+    "oncle tante roi reine prince peuple nation guerre paix force amour "
+    "joie peur espoir douleur plaisir bonheur"
+).split()
+FR_ADJ = (
+    "grand petit beau jeune vieux nouveau premier dernier français blanc "
+    "noir rouge bleu vert jaune gris clair sombre long court haut bas "
+    "large fort faible doux dur froid chaud plein vide seul libre vrai bon"
+).split()
+FR_ADV = (
+    "très bien plus moins aussi ici là vraiment beaucoup toujours jamais "
+    "encore souvent parfois bientôt tard tôt longtemps presque assez trop "
+    "ainsi pourtant cependant"
+).split()
+
+_VOWELS = "aeiouyàâéèêëîïôùûh"
+
+
+def _geom_choice(rng: np.random.Generator, pool: list[str], p: float = 0.06) -> str:
+    """Zipf-like draw: geometric rank weighting over a fixed pool order."""
+    r = int(rng.geometric(p)) - 1
+    return pool[r % len(pool)]
+
+
+def _np_token(rng: np.random.Generator) -> list[str]:
+    det = _geom_choice(rng, FR_DET, 0.25)
+    noun = _geom_choice(rng, FR_N)
+    if det in ("le", "la") and noun[0] in _VOWELS:
+        return [f"l'{noun}"]
+    if rng.random() < 0.25:
+        return [det, noun, _geom_choice(rng, FR_ADJ)] if rng.random() < 0.5 else [
+            det,
+            _geom_choice(rng, FR_ADJ),
+            noun,
+        ]
+    return [det, noun]
+
+
+def _vp_token(rng: np.random.Generator) -> list[str]:
+    r = rng.random()
+    if r < 0.25:
+        return [_geom_choice(rng, FR_AUX, 0.3), _geom_choice(rng, FR_VPP)]
+    if r < 0.35:
+        return [_geom_choice(rng, FR_AUX, 0.3), _geom_choice(rng, FR_ADJ)]
+    v = [_geom_choice(rng, FR_V)]
+    if rng.random() < 0.2:
+        v.append(_geom_choice(rng, FR_ADV))
+    return v
+
+
+def _pp_token(rng: np.random.Generator) -> list[str]:
+    prep = _geom_choice(rng, FR_PREP, 0.3)
+    rest = _np_token(rng)
+    if prep == "de" and rest and rest[0].startswith("l'"):
+        return ["de", *rest] if rng.random() < 0.5 else [f"d'{rest[0][2:]}", *rest[1:]]
+    return [prep, *rest]
+
+
+def sample_sentences_fr(
+    n: int, seed: int = 0, min_words: int = 3, max_words: int = 9
+) -> list[str]:
+    """Grammatical-template French with Zipfian content words — the
+    narrator-domain training distribution (and the unigram source for the
+    lexicon decoder's shallow fusion, align.lexicon_decode)."""
+    rng = np.random.default_rng(seed)
+    out: list[str] = []
+    while len(out) < n:
+        words: list[str] = []
+        if rng.random() < 0.18:
+            words.append(_geom_choice(rng, FR_CONJ, 0.35))
+        subj = rng.random()
+        if subj < 0.45:
+            words.extend(_np_token(rng))
+        else:
+            words.append(_geom_choice(rng, FR_PRON, 0.3))
+        words.extend(_vp_token(rng))
+        r = rng.random()
+        if r < 0.45:
+            words.extend(_np_token(rng))
+        if rng.random() < 0.5:
+            words.extend(_pp_token(rng))
+        if rng.random() < 0.15:
+            words.append(_geom_choice(rng, FR_ADV))
+        if min_words <= len(words) <= max_words:
+            out.append(" ".join(words))
+    return out
+
+
+def sampler_vocabulary() -> list[str]:
+    """Every surface form sample_sentences_fr can emit (elisions included) —
+    the lexicon decoder's trie must cover them all."""
+    base = (
+        FR_DET + FR_PRON + FR_PREP + FR_CONJ + FR_NEG + FR_AUX + FR_V + FR_VPP + FR_N + FR_ADJ + FR_ADV
+    )
+    eli = [f"l'{n}" for n in FR_N if n[0] in _VOWELS] + [
+        f"d'{n}" for n in FR_N if n[0] in _VOWELS
+    ]
+    return list(dict.fromkeys(base + eli))
+
+
+def unigram_priors(n_sentences: int = 8000, seed: int = 123) -> dict[str, float]:
+    """Empirical unigram distribution of the grammar sampler — the shallow-
+    fusion prior for lexicon-constrained decode. Derived purely from the
+    TRAINING distribution (never from evaluation text)."""
+    from collections import Counter
+
+    c: Counter[str] = Counter()
+    for s in sample_sentences_fr(n_sentences, seed=seed):
+        c.update(s.split())
+    total = sum(c.values())
+    return {w: k / total for w, k in c.items()}
+
+
 def build_corpus(out_dir: str | Path, n: int = 256, seed: int = 0, spec: SynthSpec | None = None) -> list[Path]:
     """Write n wav+txt pairs (the train_ctc.load_pairs layout)."""
     from ..utils.wavio import write_wav

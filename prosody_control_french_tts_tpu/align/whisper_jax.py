@@ -283,13 +283,23 @@ class WhisperModel(nn.Module):
         return self.decoder.step(tokens, pos, caches, cross_kvs)
 
 
-def make_greedy_fn(model: WhisperModel, max_new: int):
+def make_greedy_fn(model: WhisperModel, max_new: int, trie=None, lm_weight: float = 1.0, rep_limit: int = 2):
     """Single-jit greedy transcription (the models/llm.greedy_generate
     pattern applied to the encoder-decoder): mel → encoder → per-layer
     cross-K/V precompute → lax.while_loop of KV-cached single-token decoder
     steps. One executable launch per segment instead of one per token (the
     tunnel costs ~30 ms per launch; the reference's GPU hot loop is
     use_whisper_timestamped.py:150-170).
+
+    With ``trie`` (align.lexicon_decode.TrieTables) the argmax is
+    lexicon-constrained shallow fusion: a per-row trie-node state gathers
+    the legal-continuation mask from the device-resident transition table,
+    word-final nodes add their log-unigram bonus to the space/eot logit,
+    and closing the same word more than ``rep_limit`` times consecutively
+    is forbidden (whisper's compression-ratio reject, as a hard mask in a
+    single greedy pass). One [B, 256] gather per step — invisible next to
+    the decoder matmuls; the byte tokenizer's ids 0..255 ARE the trie's
+    byte axis.
 
     Returns fn(params, mel [B, ·, n_mels], sot_id, eot_id, active [B] bool)
     → (tokens [B, max_new+1] with tokens[:, 0] = sot, att [B, max_new+1, F]):
@@ -300,6 +310,11 @@ def make_greedy_fn(model: WhisperModel, max_new: int):
     cap and every real row pays its steps (the loop exits on all-done).
     """
     cfg = model.cfg
+    SPACE = 0x20
+    if trie is not None:
+        trans_t = jnp.asarray(trie.trans)
+        can_end_t = jnp.asarray(trie.can_end)
+        bonus_t = jnp.asarray(trie.end_bonus * np.float32(lm_weight))
 
     @jax.jit
     def run(params, mel, sot_id, eot_id, active):
@@ -318,26 +333,66 @@ def make_greedy_fn(model: WhisperModel, max_new: int):
         tokens = jnp.full((B, total), eot_id, jnp.int32)
         tokens = tokens.at[:, 0].set(sot_id)
         att = jnp.zeros((B, total, F), jnp.float32)
+        # lexicon state: trie node per row, the last TWO closed words' end
+        # nodes (word identity — equal words end at the same node), and a
+        # consecutive-cycle count: straight repeats ("z z z") AND 2-cycles
+        # ("mer merci mer merci") both babble on OOD audio
+        cur0 = jnp.zeros((B,), jnp.int32)
+        p1_0 = jnp.full((B,), -1, jnp.int32)
+        p2_0 = jnp.full((B,), -2, jnp.int32)
+        rep0 = jnp.zeros((B,), jnp.int32)
+
+        def pick_next(logits, cur, p1, p2, rep, eot_id):
+            lg = logits.astype(jnp.float32)
+            if trie is None:
+                return jnp.argmax(lg, axis=-1).astype(jnp.int32), cur, p1, p2, rep
+            V = lg.shape[-1]
+            cols = jnp.arange(V)[None, :]
+            row = trans_t[cur]  # [B, 256]
+            endable = can_end_t[cur]
+            rep_block = ((cur == p1) & (rep >= rep_limit - 1)) | (
+                (cur == p2) & (rep >= rep_limit)
+            )
+            space_ok = endable & ~rep_block
+            eot_ok = endable | (cur == 0)
+            mask = jnp.pad(row >= 0, ((0, 0), (0, V - 256)))
+            mask = mask.at[:, SPACE].set(space_ok)
+            mask = mask | ((cols == eot_id) & eot_ok[:, None])
+            add = jnp.where(
+                (cols == eot_id) | (cols == SPACE), bonus_t[cur][:, None], 0.0
+            )
+            nxt = jnp.argmax(jnp.where(mask, lg + add, -1e30), axis=-1).astype(jnp.int32)
+            closes = nxt == SPACE
+            new_cur = jnp.where(
+                closes | (nxt == eot_id),
+                0,
+                trans_t[cur, jnp.clip(nxt, 0, 255)],
+            )
+            cyc = (cur == p1) | (cur == p2)
+            rep = jnp.where(closes, jnp.where(cyc, rep + 1, 0), rep)
+            p2 = jnp.where(closes, p1, p2)
+            p1 = jnp.where(closes, cur, p1)
+            return nxt, new_cur, p1, p2, rep
 
         def cond(state):
-            step, _, _, _, done = state
+            step, _, _, _, done, *_ = state
             return (step < max_new) & ~jnp.all(done)
 
         def body(state):
-            step, tokens, caches, att, done = state
+            step, tokens, caches, att, done, cur, p1, p2, rep = state
             ids = jax.lax.dynamic_slice(tokens, (0, step), (B, 1))
             logits, caches, row = model.apply(
                 params, ids, step, caches, cross_kvs, method=WhisperModel.decode_step
             )
             att = jax.lax.dynamic_update_slice(att, row.astype(jnp.float32), (0, step, 0))
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            nxt, cur, p1, p2, rep = pick_next(logits[:, -1], cur, p1, p2, rep, eot_id)
             nxt = jnp.where(done, eot_id, nxt)
             done = done | (nxt == eot_id)
             tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step + 1))
-            return step + 1, tokens, caches, att, done
+            return step + 1, tokens, caches, att, done, cur, p1, p2, rep
 
-        state = (0, tokens, caches, att, ~active)
-        _, tokens, caches, att, _ = jax.lax.while_loop(cond, body, state)
+        state = (0, tokens, caches, att, ~active, cur0, p1_0, p2_0, rep0)
+        _, tokens, caches, att, _, _, _, _, _ = jax.lax.while_loop(cond, body, state)
         # One extra decode step for the query at position max_new: rows that
         # hit the cap without emitting eot have all max_new generated tokens
         # as text, and the last one's attention row (row max_new) is never
@@ -375,15 +430,16 @@ def _attention_spans_device(att, n, fr, max_rows: int):
     return monotonic_partition_spans_batched(cost, n, fr)
 
 
-def make_greedy_spans_fn(model: WhisperModel, max_new: int):
+def make_greedy_spans_fn(model: WhisperModel, max_new: int, trie=None, lm_weight: float = 1.0):
     """The production alignment launch: greedy decode (make_greedy_fn) +
     eot scan + cross-attention DTW + device backtrack fused into ONE
     jitted program. fn(params, mel, sot, eot, fr [B] int32, active [B]
     bool) → (tokens [B, max_new+1], n [B] token counts, spans
     [B, max_new, 2] frame indices). The per-corpus readback is a few KB of
     tokens/spans instead of the [B, max_new+1, F] float32 attention tensor
-    plus the [B, L+1, F+1] DP matrix (MBs over the ~40 MB/s tunnel)."""
-    greedy = make_greedy_fn(model, max_new)
+    plus the [B, L+1, F+1] DP matrix (MBs over the ~40 MB/s tunnel).
+    ``trie``/``lm_weight`` pass through to the lexicon-constrained greedy."""
+    greedy = make_greedy_fn(model, max_new, trie=trie, lm_weight=lm_weight)
 
     @jax.jit
     def run(params, mel, sot_id, eot_id, fr, active):
@@ -601,6 +657,8 @@ class WhisperAligner:
         weights_path=None,
         use_vad: bool = True,
         detect_disfluencies: bool = True,
+        lexicon_decode: bool = True,
+        lm_weight: float = 1.0,
     ):
         if cfg is None and params is None and tokenizer is None and weights_path is None:
             # zero-config construction → the packaged hermetically-pretrained
@@ -630,6 +688,12 @@ class WhisperAligner:
         # detect_disfluencies=True (use_whisper_timestamped.py:150-156)
         self.use_vad = use_vad
         self.detect_disfluencies = detect_disfluencies
+        # lexicon-constrained free decode (align.lexicon_decode): only
+        # meaningful for the byte-level hermetic tokenizer, where token ids
+        # 0..255 ARE the trie's byte axis; ported published checkpoints
+        # (real BPE merges) carry their own trained LM and decode free
+        self.lexicon_decode = lexicon_decode and self._byte_level_tokenizer()
+        self.lm_weight = lm_weight
         # jitted programs live in the module-level _TRACE_MEMO (keyed by
         # config) so fresh aligner instances skip re-tracing
 
@@ -676,6 +740,16 @@ class WhisperAligner:
             self.tokenizer.save(p / "tokenizer.bpe.json")
         elif hasattr(self.tokenizer, "save"):  # WordPiece vocab json
             self.tokenizer.save(p / "wordpiece_vocab.json")
+
+    def _byte_level_tokenizer(self) -> bool:
+        """True for the hermetic byte tokenizer (ids 0..255 = UTF-8 bytes,
+        no merges) — the layout the lexicon trie indexes by."""
+        tok = self.tokenizer
+        return (
+            tok is not None
+            and getattr(tok, "merges", None) == {}
+            and len(getattr(tok, "vocab", ())) == 256
+        )
 
     def _audio_window(self, audio: Audio) -> np.ndarray:
         """Host-side prep: mono, model rate, zero-padded to exactly the
@@ -898,8 +972,14 @@ class WhisperAligner:
         B = len(free)
         Bp = xs.shape[0]
         mels = self._mel_batch(xs)  # one launch; stays on device
+        trie = None
+        if self.lexicon_decode:
+            from .lexicon_decode import default_trie
+
+            trie = default_trie()
         fn = _memo_fn(
-            ("spans", self.cfg, max_new), lambda: make_greedy_spans_fn(self.model, max_new)
+            ("spans", self.cfg, max_new, self.lexicon_decode, self.lm_weight),
+            lambda: make_greedy_spans_fn(self.model, max_new, trie=trie, lm_weight=self.lm_weight),
         )
         # REAL encoder frames per clip (see _teacher_forced_words): the DP
         # is restricted to them on device; pad rows get 1 and are done

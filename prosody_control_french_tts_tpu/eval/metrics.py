@@ -14,6 +14,25 @@ from ..ops.dtw import dtw_path
 from ..ops.pitch import PitchParams, praat_pitch
 
 
+def normalize_asr_text(text: str) -> str:
+    """Whisper's BasicTextNormalizer semantics (openai/whisper
+    normalizers/basic.py, the published ASR-eval convention): lowercase,
+    strip diacritics (NFKD, drop combining marks), every non-alphanumeric
+    character — apostrophes and hyphens included — becomes a space, runs
+    collapse. French elisions split ("l'histoire" → "l histoire") on BOTH
+    sides of a WER comparison, so hypothesis and reference are scored in
+    the same orthographic space regardless of accent/punctuation style."""
+    import unicodedata
+
+    text = unicodedata.normalize("NFKD", text.lower())
+    out = []
+    for ch in text:
+        if unicodedata.combining(ch):
+            continue
+        out.append(ch if ch.isalnum() else " ")
+    return " ".join("".join(out).split())
+
+
 def wer(reference: str, hypothesis: str) -> float:
     """Word error rate = (S+D+I)/N — jiwer.wer semantics."""
     ref = reference.split()

@@ -125,9 +125,13 @@ def segment_agreement(
     hyp = " ".join(w for _, _, w in _words(tg_w))
     wer_val = None
     if reference_text is not None:
-        from .metrics import wer
+        from .metrics import normalize_asr_text, wer
 
-        wer_val = round(wer(reference_text, hyp), 3)
+        # both sides through the published ASR normalization (Whisper's
+        # BasicTextNormalizer): case/diacritics/punctuation styles differ
+        # between the nominal refs and the byte decode; scoring raw strings
+        # would count orthography, not words
+        wer_val = round(wer(normalize_asr_text(reference_text), normalize_asr_text(hyp)), 3)
     if not hyp:
         return SegmentAgreement(stem, 0, wer_val)
     tg_c = ctc.align(audio, hyp)
