@@ -497,25 +497,28 @@ def bench_llm_train() -> dict:
     # a wgrad matmul for every frozen base kernel, ~2P of wasted FLOPs +
     # HBM writes (see make_train_step docstring); donation lets XLA alias
     # the frozen leaves through the step in place
-    step = make_train_step(model, tx, donate=True, trainable=state.mask)
+    # scan_steps: N optimizer steps per executable launch (lax.scan over
+    # stacked batches) — the production form for pre-staged data, and the
+    # honest chip rate here (per-step Python dispatch over the tunnel
+    # added ~3 ms/step that no production TPU host pays)
+    step = make_train_step(model, tx, donate=True, trainable=state.mask, scan_steps=iters)
     rng = np.random.default_rng(0)
-    batches = [
-        jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, L)), jnp.int32)
-        for _ in range(iters + 1)
+    stacked = [
+        jnp.asarray(rng.integers(1, cfg.vocab_size, size=(iters, B, L)), jnp.int32)
+        for _ in range(2)
     ]
     loss_mask = jnp.ones((B, L), jnp.float32)
     params, opt_state = state.params, state.opt_state
-    params, opt_state, loss = step(params, opt_state, batches[-1], loss_mask)
-    assert np.isfinite(float(loss))  # compile + warm (read forces execution)
-    # median+IQR over groups of iters (VERDICT r4 #2: the 0.395-claimed vs
+    params, opt_state, losses = step(params, opt_state, stacked[0], loss_mask)
+    assert np.isfinite(float(losses[-1]))  # compile + warm (read forces execution)
+    # median+IQR over scanned groups (VERDICT r4 #2: the 0.395-claimed vs
     # 0.332-recorded gap needs spread, not a single cold sample)
     reps = 3 if on_accel else 2
     rates = []
-    for _ in range(reps):
+    for r in range(reps):
         t0 = time.perf_counter()
-        for k in range(iters):
-            params, opt_state, loss = step(params, opt_state, batches[k], loss_mask)
-        final = float(loss)  # chained through params: forces every step
+        params, opt_state, losses = step(params, opt_state, stacked[(r + 1) % 2], loss_mask)
+        final = float(losses[-1])  # chained through params: forces every step
         dt = time.perf_counter() - t0
         assert np.isfinite(final)
         rates.append(B * L * iters / dt)

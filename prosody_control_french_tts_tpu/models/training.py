@@ -99,8 +99,18 @@ def make_train_step(
     donate: bool = True,
     trainable: dict | None = None,
     loss_impl: str = "auto",
+    scan_steps: int | None = None,
 ):
     """One fused fwd+bwd+update program.
+
+    ``scan_steps=N`` returns instead a MULTI-step program
+    ``fn(params, opt_state, ids [N, B, L], loss_mask) → (params, opt_state,
+    losses [N])`` — the same step body rolled through ``lax.scan``, so N
+    optimizer steps run as ONE executable launch. Per-step Python dispatch
+    is pure overhead on any host (and ~3 ms/step of serialized launch cost
+    over this repo's TPU tunnel — measured r5: 31.8 → 28.6 ms/step at the
+    bench geometry); training loops that pre-stage batches should prefer
+    the scanned form.
 
     ``trainable`` (a bool pytree like ``lora_param_mask(params)``, i.e.
     ``state.mask`` from init_train) restricts differentiation AND the
@@ -183,7 +193,21 @@ def make_train_step(
         params = jax.tree_util.tree_unflatten(treedef, merged)
         return params, opt_state, loss
 
-    return jax.jit(step_fn, donate_argnums=(0, 1) if donate else ())
+    if scan_steps is None:
+        return jax.jit(step_fn, donate_argnums=(0, 1) if donate else ())
+
+    def multi_fn(params, opt_state, ids_stacked, loss_mask):
+        def body(carry, ids):
+            p, o = carry
+            p, o, loss = step_fn(p, o, ids, loss_mask)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), ids_stacked
+        )
+        return params, opt_state, losses
+
+    return jax.jit(multi_fn, donate_argnums=(0, 1) if donate else ())
 
 
 def shard_train_inputs(mesh, params, opt_state, ids, loss_mask):

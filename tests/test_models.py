@@ -228,6 +228,29 @@ class TestLLM:
         b1 = p1["params"]["layer_0"]["attn"]["q"]["lora_b"]
         assert not np.allclose(np.asarray(b0), np.asarray(b1))
 
+    def test_scanned_steps_match_sequential(self):
+        """make_train_step(scan_steps=N) — N optimizer steps in one
+        lax.scan launch — must walk the same trajectory as N sequential
+        step calls (same batches, same order)."""
+        from prosody_control_french_tts_tpu.models.training import init_train, make_train_step
+
+        cfg = LLMConfig.tiny()
+        model, tx, state = init_train(cfg, lr=1e-2, accum=1)
+        step = make_train_step(model, tx, donate=False, trainable=state.mask)
+        multi = make_train_step(model, tx, donate=False, trainable=state.mask, scan_steps=3)
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (3, 2, 16)), jnp.int32)
+        lm = jnp.ones((2, 16), jnp.float32)
+        p_seq, o_seq = state.params, state.opt_state
+        seq_losses = []
+        for k in range(3):
+            p_seq, o_seq, loss = step(p_seq, o_seq, ids[k], lm)
+            seq_losses.append(float(loss))
+        p_scan, _, losses = multi(state.params, state.opt_state, ids, lm)
+        np.testing.assert_allclose(np.asarray(losses), np.asarray(seq_losses), rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(p_seq), jax.tree.leaves(p_scan)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
     def test_merge_lora_preserves_logits(self):
         cfg = LLMConfig.tiny()
         model = DecoderLM(cfg)
