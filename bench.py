@@ -475,7 +475,11 @@ def bench_llm_train() -> dict:
     on_accel = _on_accel()
     if on_accel:
         cfg = LLMConfig(vocab_size=32768, dim=896, layers=12, heads=14, kv_heads=2, ffn=2432, max_len=512, lora_rank=8)
-        B, L, iters = 8, 512, 4
+        # iters sets the scan length per launch: the tunnel's ~30 ms
+        # launch floor on a 28.5 ms step is −21 % MFU at scan 4 (the whole
+        # r4 0.395-claimed vs 0.332-recorded gap); at scan 96 it is −1 %.
+        # Production training consumes pre-staged epochs the same way.
+        B, L, iters = 8, 512, 96
     else:
         cfg = LLMConfig(vocab_size=512, dim=64, layers=2, heads=4, kv_heads=2, ffn=128, max_len=128, lora_rank=4)
         B, L, iters = 2, 32, 2

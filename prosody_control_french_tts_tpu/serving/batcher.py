@@ -58,10 +58,18 @@ class MicroBatcher:
         batch_fn: Callable[[list], list],
         max_batch: int = 32,
         max_wait_ms: float = 5.0,
+        pipeline_depth: int = 2,
     ):
         self.batch_fn = batch_fn
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
+        # flushes complete on finisher threads, ``pipeline_depth`` in
+        # flight: jax dispatch is async and the d2h readback releases the
+        # GIL, so batch N's device step overlaps batch N+1's host
+        # tokenization — the flush cycle costs max(host, device) instead
+        # of their sum (launches serialize on the accelerator anyway)
+        self._depth = max(1, pipeline_depth)
+        self._inflight = threading.Semaphore(self._depth)
         self.stats = BatcherStats()
         self._queue: list[_Pending] = []
         self._lock = threading.Lock()
@@ -98,22 +106,34 @@ class MicroBatcher:
                 time.sleep(0.0005)
             with self._lock:
                 batch, self._queue = self._queue[: self.max_batch], self._queue[self.max_batch :]
-            t_flush = time.monotonic()
-            try:
-                results = self.batch_fn([p.item for p in batch])
-                for p, r in zip(batch, results):
-                    p.result = r
-            except Exception as e:  # noqa: BLE001 — propagate per-request
-                for p in batch:
-                    p.error = e
-            self.stats.batch_sizes.append(len(batch))
-            self.stats.compute_s.append(time.monotonic() - t_flush)
-            self.stats.queue_s.extend(t_flush - p.t_submit for p in batch)
+            self._inflight.acquire()
+            threading.Thread(
+                target=self._finish, args=(batch, time.monotonic()), daemon=True
+            ).start()
+
+    def _finish(self, batch: list[_Pending], t_flush: float):
+        try:
+            results = self.batch_fn([p.item for p in batch])
+            for p, r in zip(batch, results):
+                p.result = r
+        except Exception as e:  # noqa: BLE001 — propagate per-request
             for p in batch:
-                p.event.set()
+                p.error = e
+        finally:
+            self._inflight.release()
+        self.stats.batch_sizes.append(len(batch))
+        self.stats.compute_s.append(time.monotonic() - t_flush)
+        self.stats.queue_s.extend(t_flush - p.t_submit for p in batch)
+        for p in batch:
+            p.event.set()
 
     def close(self):
         with self._lock:
             self._stop = True
             self._wake.notify_all()
         self._worker.join(timeout=2)
+        # drain: hold every permit at once so all in-flight flushes are done
+        for _ in range(self._depth):
+            self._inflight.acquire()
+        for _ in range(self._depth):
+            self._inflight.release()

@@ -126,11 +126,12 @@ class SSMLPredictor:
 
         out = []
         for i, words in enumerate(words_per):
-            word_break = [False] * len(words)
-            for t in range(L):
-                wi = word_idx[i, t]
-                if wi >= 0 and breaks[i, t]:
-                    word_break[wi] = True
+            # vectorized token→word break scatter (the per-token Python
+            # loop was ~B·L interpreter iterations per flush)
+            wb = np.zeros(len(words), bool)
+            sel = (word_idx[i] >= 0) & breaks[i]
+            wb[word_idx[i][sel]] = True
+            word_break = wb.tolist()
             entry = {
                 "words": words,
                 "breaks": word_break,
