@@ -430,7 +430,9 @@ def _attention_spans_device(att, n, fr, max_rows: int):
     return monotonic_partition_spans_batched(cost, n, fr)
 
 
-def make_greedy_spans_fn(model: WhisperModel, max_new: int, trie=None, lm_weight: float = 1.0):
+def make_greedy_spans_fn(
+    model: WhisperModel, max_new: int, trie=None, lm_weight: float = 1.0, rep_limit: int = 2
+):
     """The production alignment launch: greedy decode (make_greedy_fn) +
     eot scan + cross-attention DTW + device backtrack fused into ONE
     jitted program. fn(params, mel, sot, eot, fr [B] int32, active [B]
@@ -438,8 +440,9 @@ def make_greedy_spans_fn(model: WhisperModel, max_new: int, trie=None, lm_weight
     [B, max_new, 2] frame indices). The per-corpus readback is a few KB of
     tokens/spans instead of the [B, max_new+1, F] float32 attention tensor
     plus the [B, L+1, F+1] DP matrix (MBs over the ~40 MB/s tunnel).
-    ``trie``/``lm_weight`` pass through to the lexicon-constrained greedy."""
-    greedy = make_greedy_fn(model, max_new, trie=trie, lm_weight=lm_weight)
+    ``trie``/``lm_weight``/``rep_limit`` pass through to the
+    lexicon-constrained greedy."""
+    greedy = make_greedy_fn(model, max_new, trie=trie, lm_weight=lm_weight, rep_limit=rep_limit)
 
     @jax.jit
     def run(params, mel, sot_id, eot_id, fr, active):
@@ -659,6 +662,7 @@ class WhisperAligner:
         detect_disfluencies: bool = True,
         lexicon_decode: bool = True,
         lm_weight: float = 1.0,
+        rep_limit: int = 2,
     ):
         if cfg is None and params is None and tokenizer is None and weights_path is None:
             # zero-config construction → the packaged hermetically-pretrained
@@ -694,6 +698,7 @@ class WhisperAligner:
         # (real BPE merges) carry their own trained LM and decode free
         self.lexicon_decode = lexicon_decode and self._byte_level_tokenizer()
         self.lm_weight = lm_weight
+        self.rep_limit = rep_limit
         # jitted programs live in the module-level _TRACE_MEMO (keyed by
         # config) so fresh aligner instances skip re-tracing
 
@@ -978,8 +983,10 @@ class WhisperAligner:
 
             trie = default_trie()
         fn = _memo_fn(
-            ("spans", self.cfg, max_new, self.lexicon_decode, self.lm_weight),
-            lambda: make_greedy_spans_fn(self.model, max_new, trie=trie, lm_weight=self.lm_weight),
+            ("spans", self.cfg, max_new, self.lexicon_decode, self.lm_weight, self.rep_limit),
+            lambda: make_greedy_spans_fn(
+                self.model, max_new, trie=trie, lm_weight=self.lm_weight, rep_limit=self.rep_limit
+            ),
         )
         # REAL encoder frames per clip (see _teacher_forced_words): the DP
         # is restricted to them on device; pad rows get 1 and are done
